@@ -1,0 +1,234 @@
+"""Turn payload decoding — the PDF stand-in.
+
+A turn's ``text``/``tool`` columns carry either (a) a JSON document payload
+per the grammar in ``/root/repo/FIXTURES.md`` §2 — the deterministic
+serialized form of what pdfminer/pymupdf would hand the reference — or (b)
+plain prose, which is laid out deterministically onto synthetic pages.
+
+Decoding mirrors the reference's extraction stages:
+- text elements: line/span assembly as in ``text/pdfminer/core.py:209-242``
+  (element text = "\\n".join(line.text), bbox = min/max fold of line bboxes);
+  optional char-level input runs the T2-T4 char->span grouping.
+- table elements: header cleanup + markdown/HTML rendering as in
+  ``tables/parse.py:43-89`` + ``tables/pymupdf/parse.py:4-40``.
+- image elements: opaque base64 + mimetype as in ``text/pdfminer/core.py:243-271``.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, Dict, List, Optional, Tuple
+
+from open_parse_spark.core.model import (
+    Bbox,
+    ImageElement,
+    LineElement,
+    Node,
+    TableElement,
+    TextElement,
+    TextSpan,
+)
+from open_parse_spark.core.spans import create_line_element, get_lines_bbox
+from open_parse_spark.functions.tables import (
+    clean_headers,
+    output_to_html,
+    output_to_markdown,
+)
+
+Element = Any
+
+DEFAULT_PAGE_WIDTH = 612.0
+DEFAULT_PAGE_HEIGHT = 792.0
+_PROSE_MARGIN_X = 72.0
+_PROSE_TOP_Y = 720.0
+_PROSE_LINE_HEIGHT = 14.0
+_PROSE_PARA_GAP = 14.0
+_PROSE_CHAR_WIDTH = 6.0
+_PROSE_MIN_Y = 72.0
+
+
+def _decode_line(line_obj: Dict[str, Any]) -> LineElement:
+    bbox = tuple(line_obj["bbox"])
+    if "chars" in line_obj:
+        raw_chars = [
+            (c.get("text", ""), c.get("fontname", ""), float(c.get("size", 0.0)))
+            for c in line_obj["chars"]
+        ]
+        return create_line_element(raw_chars, bbox)
+    spans = tuple(
+        TextSpan(
+            text=s.get("text", ""),
+            is_bold=bool(s.get("is_bold", False)),
+            is_italic=bool(s.get("is_italic", False)),
+            size=float(s.get("size", 0.0)),
+        )
+        for s in line_obj.get("spans", [])
+    )
+    return LineElement(bbox=bbox, spans=spans)
+
+
+def _decode_page_elements(page_obj: Dict[str, Any]) -> List[Element]:
+    page = int(page_obj.get("page", 0))
+    width = float(page_obj.get("width", DEFAULT_PAGE_WIDTH))
+    height = float(page_obj.get("height", DEFAULT_PAGE_HEIGHT))
+    out: List[Element] = []
+    for el in page_obj.get("elements", []):
+        kind = el.get("kind", "text")
+        if kind == "text":
+            lines = [_decode_line(line) for line in el.get("lines", [])]
+            if not lines:
+                continue
+            if "bbox" in el:
+                x0, y0, x1, y1 = el["bbox"]
+            else:
+                x0, y0, x1, y1 = get_lines_bbox(lines)
+            out.append(
+                TextElement(
+                    text="\n".join(line.text for line in lines),
+                    lines=tuple(lines),
+                    bbox=Bbox(
+                        page=page,
+                        page_width=width,
+                        page_height=height,
+                        x0=float(x0),
+                        y0=float(y0),
+                        x1=float(x1),
+                        y1=float(y1),
+                    ),
+                )
+            )
+        elif kind == "table":
+            headers = clean_headers(list(el.get("headers", [])))
+            rows = el.get("rows", [])
+            fmt = el.get("output_format", "html")
+            if fmt in ("str", "markdown"):
+                text = output_to_markdown(headers, rows)
+            else:
+                text = output_to_html(headers, rows)
+            x0, y0, x1, y1 = el["bbox"]
+            out.append(
+                TableElement(
+                    text=text,
+                    bbox=Bbox(
+                        page=page,
+                        page_width=width,
+                        page_height=height,
+                        x0=float(x0),
+                        y0=float(y0),
+                        x1=float(x1),
+                        y1=float(y1),
+                    ),
+                )
+            )
+        elif kind == "image":
+            x0, y0, x1, y1 = el["bbox"]
+            out.append(
+                ImageElement(
+                    text=el.get("text", ""),
+                    image=el.get("image", ""),
+                    image_mimetype=el.get("image_mimetype", "unknown"),
+                    bbox=Bbox(
+                        page=page,
+                        page_width=width,
+                        page_height=height,
+                        x0=float(x0),
+                        y0=float(y0),
+                        x1=float(x1),
+                        y1=float(y1),
+                    ),
+                )
+            )
+    return out
+
+
+def _prose_to_elements(text: str) -> List[Element]:
+    """Deterministic layout of plain prose onto synthetic pages.
+
+    One TextElement per paragraph ("\\n\\n"-separated); lines wrap at 78
+    chars; y descends from the top margin, new page when the column is full.
+    Purely deterministic so the same prose always yields the same layout.
+    """
+    elements: List[Element] = []
+    page = 0
+    y1 = _PROSE_TOP_Y
+    for para in text.split("\n\n"):
+        para = para.strip()
+        if not para:
+            continue
+        raw_lines: List[str] = []
+        for src_line in para.split("\n"):
+            while len(src_line) > 78:
+                raw_lines.append(src_line[:78])
+                src_line = src_line[78:]
+            raw_lines.append(src_line)
+        needed = len(raw_lines) * _PROSE_LINE_HEIGHT
+        if y1 - needed < _PROSE_MIN_Y:
+            page += 1
+            y1 = _PROSE_TOP_Y
+        lines = []
+        for i, line_text in enumerate(raw_lines):
+            ly1 = y1 - i * _PROSE_LINE_HEIGHT
+            ly0 = ly1 - (_PROSE_LINE_HEIGHT - 2.0)
+            lx1 = _PROSE_MARGIN_X + max(1.0, _PROSE_CHAR_WIDTH * len(line_text))
+            lines.append(
+                LineElement(
+                    bbox=(_PROSE_MARGIN_X, ly0, lx1, ly1),
+                    spans=(
+                        TextSpan(
+                            text=line_text,
+                            is_bold=False,
+                            is_italic=False,
+                            size=11.0,
+                        ),
+                    ),
+                )
+            )
+        x0, y0, x1, ey1 = get_lines_bbox(lines)
+        elements.append(
+            TextElement(
+                text="\n".join(line.text for line in lines),
+                lines=tuple(lines),
+                bbox=Bbox(
+                    page=page,
+                    page_width=DEFAULT_PAGE_WIDTH,
+                    page_height=DEFAULT_PAGE_HEIGHT,
+                    x0=x0,
+                    y0=y0,
+                    x1=x1,
+                    y1=ey1,
+                ),
+            )
+        )
+        y1 = y0 - _PROSE_PARA_GAP
+    return elements
+
+
+def decode_payload(text: Optional[str], tool: Optional[str]) -> List[Element]:
+    """Decode a turn's (text, tool) into extraction elements.
+
+    ``text`` carries the document payload; ``tool`` may carry a second JSON
+    payload (table grids for table-turn fixtures, FIXTURES.md §1).
+    """
+    elements: List[Element] = []
+    for payload in (text, tool):
+        if not payload:
+            continue
+        stripped = payload.lstrip()
+        if stripped.startswith("{"):
+            try:
+                obj = json.loads(payload)
+            except (ValueError, TypeError):
+                obj = None
+            if isinstance(obj, dict) and "pages" in obj:
+                for page_obj in obj["pages"]:
+                    elements.extend(_decode_page_elements(page_obj))
+                continue
+        # plain prose fallback (only sensible for the text column)
+        if payload is text:
+            elements.extend(_prose_to_elements(payload))
+    return elements
+
+
+def elements_to_nodes(elements: List[Element]) -> List[Node]:
+    """One single-element Node per element; reference doc_parser.py:128-137."""
+    return [Node(elements=(e,)) for e in elements]

@@ -1,0 +1,76 @@
+"""Deterministic token counting.
+
+The reference counts tokens with tiktoken's ``cl100k_base`` encoding
+(``/root/reference/src/openparse/utils.py:6-10``) and those counts gate
+control flow: ``Node.is_stub = tokens < 50``, ``is_small = tokens < 256``,
+``is_large = tokens > 1024`` (``/root/reference/src/openparse/schemas.py:555-565``,
+``consts.py:3-4``) and the ``RemoveNodesBelowNTokens(min_tokens=50)`` filter
+(``processing/basic_transforms.py:261-275``).
+
+tiktoken is not installed in this environment, so we use a deterministic,
+pure-regex approximation of the cl100k_base pre-tokenizer.  What matters for
+per-turn text equality is that the *same* counter is used by the
+single-threaded oracle and the distributed Spark pipeline — both import this
+module.  If tiktoken is available it is preferred (and then oracle and
+pipeline both use it, so equality still holds).
+
+The approximation: split on a cl100k-style pre-tokenizer regex (contractions,
+letter runs, number runs of <=3 digits, punctuation runs, whitespace), then
+charge ``ceil(len(piece)/4)`` tokens for letter runs longer than 4 chars
+(BPE merges roughly 4 chars/token for English) and 1 token per other piece.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from functools import lru_cache
+from typing import Iterable, List, Optional
+
+try:  # pragma: no cover - exercised only when tiktoken is installed
+    import tiktoken  # type: ignore
+
+    _ENCODER = tiktoken.get_encoding("cl100k_base")
+except Exception:  # pragma: no cover
+    _ENCODER = None
+
+# cl100k_base-style pre-tokenizer (simplified to `re`-compatible syntax).
+_PRETOKEN_RE = re.compile(
+    r"'(?:[sdmt]|ll|ve|re)"  # contractions
+    r"|[A-Za-zÀ-￿]+"  # letter runs (incl. non-ascii letters, approx)
+    r"|[0-9]{1,3}"  # number runs, <=3 digits per token like cl100k
+    r"|[^\sA-Za-z0-9À-￿]+"  # punctuation runs
+    r"| +"  # space runs (leading spaces usually merge into next token;
+    # counted once per run here)
+)
+
+
+def _approx_piece_tokens(piece: str) -> int:
+    if piece.isspace():
+        # A single space usually merges with the following word in BPE;
+        # longer runs cost extra tokens.
+        return 0 if len(piece) == 1 else 1
+    if piece[0].isalpha():
+        return max(1, math.ceil(len(piece) / 4))
+    # punctuation / digits: short runs are single tokens
+    return max(1, math.ceil(len(piece) / 2)) if len(piece) > 4 else 1
+
+
+@lru_cache(maxsize=65536)
+def num_tokens(string: Optional[str]) -> int:
+    """Deterministic token count; mirrors reference ``utils.num_tokens``
+    (``/root/reference/src/openparse/utils.py:6-10``) with a pure-regex
+    fallback when tiktoken is unavailable."""
+    if not string:
+        return 0
+    if _ENCODER is not None:  # pragma: no cover
+        return len(_ENCODER.encode(string))
+    return sum(_approx_piece_tokens(p) for p in _PRETOKEN_RE.findall(string))
+
+
+def num_tokens_batch(strings: Iterable[Optional[str]]) -> List[int]:
+    """Vectorized-ish batch counting (single pass, cached)."""
+    if _ENCODER is not None:  # pragma: no cover
+        clean = [s or "" for s in strings]
+        return [len(t) for t in _ENCODER.encode_ordinary_batch(clean)]
+    return [num_tokens(s) for s in strings]
