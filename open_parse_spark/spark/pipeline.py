@@ -1,0 +1,247 @@
+"""The distributed parse pipeline — transcripts in, content nodes out.
+
+Spark-first design (SURVEY §3.4, §7.0):
+
+- the per-turn parse (extraction + the order-dependent node pipeline) is a
+  pure Python function over a turn's payload — inherently sequential *within*
+  a turn, embarrassingly parallel *across* turns.  It runs inside an Arrow
+  ``mapInPandas`` UDF: batched Arrow transfer, zero per-row (Spark-level)
+  Python UDF calls.
+- skew handling is explicit: a payload-size histogram (approx quantiles of
+  ``length(text)+length(tool)``) sizes the map parallelism, and the
+  repartition key is a *turn-level* hash — the finest salting possible, so a
+  single giant conv_id can never pin a partition (north rule: "salted,
+  skew-aware map over conv_id-bucketed partitions with explicit
+  repartitioning by payload-size histograms").
+- Arrow batches are bounded (``spark.sql.execution.arrow.maxRecordsPerBatch``)
+  so the heavy tail of payload sizes cannot blow executor memory.
+
+Scale notes (100 TB / 1000 executors):
+- the job is a pure map: no shuffle at all unless ``repartition_for_skew``
+  is enabled (one round-robin-by-hash shuffle, fully parallel, no hot keys
+  by construction).  At 100 TB you keep it on: the scan's natural file
+  splits correlate with conv_id (Iceberg bucketed layout), and payload skew
+  would otherwise produce straggler tasks.
+- per-executor state (the tokenizer) is a process-global initialized once
+  per Python worker, mirroring the reference's module-import model loading
+  (``tables/table_transformers/ml.py:58-86``).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, List, Optional, Tuple
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+BBOX_TYPE = StructType(
+    [
+        StructField("page", IntegerType()),
+        StructField("page_height", DoubleType()),
+        StructField("page_width", DoubleType()),
+        StructField("x0", DoubleType()),
+        StructField("y0", DoubleType()),
+        StructField("x1", DoubleType()),
+        StructField("y1", DoubleType()),
+    ]
+)
+
+NODE_SCHEMA = StructType(
+    [
+        StructField("conv_id", StringType(), False),
+        StructField("turn_idx", IntegerType(), False),
+        StructField("node_idx", IntegerType(), False),
+        StructField("text", StringType(), True),
+        StructField("tokens", LongType(), True),
+        StructField("variant", ArrayType(StringType()), True),
+        StructField("num_pages", IntegerType(), True),
+        StructField("start_page", IntegerType(), True),
+        StructField("end_page", IntegerType(), True),
+        StructField("bbox", ArrayType(BBOX_TYPE), True),
+        StructField("parse_error", StringType(), True),
+    ]
+)
+
+INPUT_COLS = ["conv_id", "turn_idx", "text", "tool"]
+
+
+def _parse_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas body: one Arrow batch of turns -> node rows.
+
+    Imports inside the function body so the closure ships cleanly to Python
+    workers; the tokenizer cache in ``core.tokens`` is process-global per
+    worker (initialized once, reused across batches).
+    """
+    from open_parse_spark.core.parse import parse_turn_records
+
+    for pdf in batches:
+        out = {name: [] for name in NODE_SCHEMA.fieldNames()}
+        for conv_id, turn_idx, text, tool in zip(
+            pdf["conv_id"].values,
+            pdf["turn_idx"].values,
+            pdf["text"].values,
+            pdf["tool"].values,
+        ):
+            try:
+                records = parse_turn_records(text, tool)
+            except Exception as exc:  # lineage: never lose a turn silently
+                out["conv_id"].append(conv_id)
+                out["turn_idx"].append(int(turn_idx))
+                out["node_idx"].append(-1)
+                out["text"].append(None)
+                out["tokens"].append(0)
+                out["variant"].append(["error"])
+                out["num_pages"].append(0)
+                out["start_page"].append(0)
+                out["end_page"].append(0)
+                out["bbox"].append([])
+                out["parse_error"].append(f"{type(exc).__name__}: {exc}"[:500])
+                continue
+            for rec in records:
+                out["conv_id"].append(conv_id)
+                out["turn_idx"].append(int(turn_idx))
+                out["node_idx"].append(rec["node_idx"])
+                out["text"].append(rec["text"])
+                out["tokens"].append(rec["tokens"])
+                out["variant"].append(rec["variant"])
+                out["num_pages"].append(rec["num_pages"])
+                out["start_page"].append(rec["start_page"])
+                out["end_page"].append(rec["end_page"])
+                out["bbox"].append(
+                    [
+                        (
+                            b["page"],
+                            b["page_height"],
+                            b["page_width"],
+                            b["x0"],
+                            b["y0"],
+                            b["x1"],
+                            b["y1"],
+                        )
+                        for b in rec["bbox"]
+                    ]
+                )
+                out["parse_error"].append(None)
+        yield pd.DataFrame(out)
+
+
+def payload_size_histogram(
+    df: DataFrame, probabilities: Tuple[float, ...] = (0.5, 0.9, 0.99, 1.0)
+) -> dict:
+    """Approximate payload-size histogram used to size the map parallelism.
+
+    One pass over just the two length expressions (column-pruned scan);
+    approxQuantile is a driver-side sketch merge, no full shuffle.
+    """
+    sized = df.select(
+        (
+            F.coalesce(F.length("text"), F.lit(0))
+            + F.coalesce(F.length("tool"), F.lit(0))
+        ).alias("payload_len")
+    )
+    quantiles = sized.stat.approxQuantile("payload_len", list(probabilities), 0.01)
+    agg = sized.agg(
+        F.sum("payload_len").alias("total_bytes"),
+        F.count(F.lit(1)).alias("rows"),
+    ).collect()[0]
+    return {
+        "quantiles": dict(zip(probabilities, quantiles)),
+        "total_bytes": agg["total_bytes"] or 0,
+        "rows": agg["rows"],
+    }
+
+
+def plan_partitions(
+    hist: dict,
+    default_parallelism: int,
+    target_bytes_per_partition: int = 64 * 1024 * 1024,
+) -> int:
+    """Histogram -> partition count.  At least 2x cores (pipelining/straggler
+    slack), at most what keeps partitions under the byte target assuming the
+    p99 tail dominates."""
+    by_bytes = int(hist["total_bytes"] / max(1, target_bytes_per_partition)) + 1
+    return max(2 * default_parallelism, by_bytes)
+
+
+def parse_transcripts(
+    df: DataFrame,
+    repartition_for_skew: bool = True,
+    num_partitions: Optional[int] = None,
+    target_bytes_per_partition: int = 64 * 1024 * 1024,
+    drop_errors: bool = False,
+) -> DataFrame:
+    """transcripts (conv_id, turn_idx, role, text, tool, ts) -> node rows.
+
+    Column pruning happens here (only INPUT_COLS reach the scan); the
+    optional skew repartition hashes at *turn* granularity so no conv_id,
+    however large, can dominate a partition.
+    """
+    pruned = df.select(*INPUT_COLS)
+    if repartition_for_skew:
+        if num_partitions is None:
+            hist = payload_size_histogram(pruned)
+            num_partitions = plan_partitions(
+                hist,
+                df.sparkSession.sparkContext.defaultParallelism,
+                target_bytes_per_partition,
+            )
+        # turn-level salt: uniform by construction, no hot conv_id keys
+        salted = pruned.withColumn(
+            "_salt", F.xxhash64(F.col("conv_id"), F.col("turn_idx"))
+        )
+        pruned = salted.repartition(num_partitions, "_salt").drop("_salt")
+    nodes = pruned.mapInPandas(_parse_partition, schema=NODE_SCHEMA)
+    if drop_errors:
+        nodes = nodes.where(F.col("node_idx") >= 0)
+    return nodes
+
+
+def nodes_output(nodes: DataFrame) -> DataFrame:
+    """Stable output ordering for consumers/tests: (conv_id, turn_idx, node_idx)."""
+    return nodes.orderBy("conv_id", "turn_idx", "node_idx")
+
+
+def parse_quality_metrics(nodes: DataFrame) -> DataFrame:
+    """Extraction metrics per conversation (lineage companion)."""
+    return nodes.groupBy("conv_id").agg(
+        F.count_distinct("turn_idx").alias("turns"),
+        F.sum(F.when(F.col("node_idx") >= 0, 1).otherwise(0)).alias("nodes"),
+        F.sum(F.when(F.col("node_idx") < 0, 1).otherwise(0)).alias("parse_errors"),
+        F.sum("tokens").alias("tokens"),
+    )
+
+
+def run_turns_oracle(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Single-threaded oracle over a pandas transcripts frame: the same
+    per-turn code path, no Spark.  Used by the equality tests."""
+    from open_parse_spark.core.parse import parse_turn_records
+
+    rows: List[dict] = []
+    for conv_id, turn_idx, text, tool in zip(
+        pdf["conv_id"], pdf["turn_idx"], pdf["text"], pdf["tool"]
+    ):
+        for rec in parse_turn_records(text, tool):
+            rows.append(
+                {
+                    "conv_id": conv_id,
+                    "turn_idx": int(turn_idx),
+                    "node_idx": rec["node_idx"],
+                    "text": rec["text"],
+                    "tokens": rec["tokens"],
+                }
+            )
+    return (
+        pd.DataFrame(rows, columns=["conv_id", "turn_idx", "node_idx", "text", "tokens"])
+        .sort_values(["conv_id", "turn_idx", "node_idx"], kind="stable")
+        .reset_index(drop=True)
+    )

@@ -1,0 +1,34 @@
+"""SparkSession factory with the configs this pipeline relies on."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "open-parse-spark",
+    master: str | None = None,
+    shuffle_partitions: int = 32,
+    arrow_max_records_per_batch: int = 512,
+) -> SparkSession:
+    """Arrow enabled, small Arrow batches (megabyte payloads must not blow up
+    executor memory: FIXTURES payloads are log-normal with a heavy tail), AQE
+    on for runtime skew handling on top of our explicit repartitioning."""
+    master = master or os.environ.get("SPARK_MASTER", "local[*]")
+    return (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            str(arrow_max_records_per_batch),
+        )
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )

@@ -1,0 +1,146 @@
+"""Spark-level correctness: the distributed pipeline must produce exactly the
+single-threaded oracle's output (per-turn text equality under stable
+(conv_id, turn_idx, node_idx) ordering — the BASELINE.json invariant), be
+deterministic across runs, and resume exactly-once from the checkpoint table.
+"""
+
+import shutil
+
+import pandas as pd
+import pytest
+
+from open_parse_spark.data.synth import gen_transcripts
+from open_parse_spark.spark.pipeline import (
+    nodes_output,
+    parse_transcripts,
+    payload_size_histogram,
+    plan_partitions,
+    run_turns_oracle,
+)
+
+
+@pytest.fixture(scope="module")
+def transcripts_pdf():
+    return gen_transcripts(n_convs=40, avg_turns=6, seed=42)
+
+
+@pytest.fixture(scope="module")
+def transcripts_df(spark, transcripts_pdf):
+    return spark.createDataFrame(transcripts_pdf).cache()
+
+
+def _spark_nodes_pdf(df) -> pd.DataFrame:
+    out = nodes_output(
+        parse_transcripts(df, repartition_for_skew=True, num_partitions=16)
+    )
+    pdf = out.select("conv_id", "turn_idx", "node_idx", "text", "tokens").toPandas()
+    return pdf.reset_index(drop=True)
+
+
+def test_per_turn_text_equality_vs_oracle(transcripts_df, transcripts_pdf):
+    """The flagship invariant: distributed output == single-threaded oracle,
+    byte-for-byte, in stable order."""
+    expected = run_turns_oracle(transcripts_pdf)
+    actual = _spark_nodes_pdf(transcripts_df)
+    assert len(actual) == len(expected), (
+        f"row count {len(actual)} != oracle {len(expected)}"
+    )
+    assert actual["text"].tolist() == expected["text"].tolist()
+    assert actual["tokens"].tolist() == expected["tokens"].tolist()
+    assert actual["conv_id"].tolist() == expected["conv_id"].tolist()
+    assert actual["turn_idx"].tolist() == expected["turn_idx"].tolist()
+    assert actual["node_idx"].tolist() == expected["node_idx"].tolist()
+
+
+def test_no_parse_errors_on_synth(transcripts_df):
+    nodes = parse_transcripts(transcripts_df, repartition_for_skew=False)
+    errs = nodes.where("node_idx < 0").count()
+    assert errs == 0
+
+
+def test_determinism_two_runs(transcripts_df):
+    a = _spark_nodes_pdf(transcripts_df)
+    b = _spark_nodes_pdf(transcripts_df)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_histogram_and_partition_plan(transcripts_df):
+    hist = payload_size_histogram(transcripts_df)
+    assert hist["rows"] > 0 and hist["total_bytes"] > 0
+    assert hist["quantiles"][1.0] >= hist["quantiles"][0.5]
+    n = plan_partitions(hist, default_parallelism=4)
+    assert n >= 8
+
+
+def test_resume_exactly_once(spark, transcripts_df, tmp_path):
+    from open_parse_spark.spark.checkpoint import run_resumable
+
+    out = str(tmp_path / "nodes")
+    ckpt = str(tmp_path / "ckpt")
+
+    # simulate a kill after 2 waves of 4 buckets
+    r1 = run_resumable(
+        spark,
+        transcripts_df,
+        out,
+        ckpt,
+        n_buckets=16,
+        buckets_per_wave=4,
+        max_waves=2,
+        run_id="r1",
+    )
+    assert len(r1.processed_buckets) == 8
+
+    # resume: must process only the remaining buckets
+    r2 = run_resumable(
+        spark,
+        transcripts_df,
+        out,
+        ckpt,
+        n_buckets=16,
+        buckets_per_wave=4,
+        run_id="r2",
+    )
+    assert set(r2.skipped_buckets) == set(r1.processed_buckets)
+    assert set(r2.processed_buckets).isdisjoint(r1.processed_buckets)
+    assert len(r1.processed_buckets) + len(r2.processed_buckets) == 16
+
+    # no dupes, no gaps: output == a clean full run
+    resumed = (
+        spark.read.parquet(out)
+        .select("conv_id", "turn_idx", "node_idx", "text")
+        .orderBy("conv_id", "turn_idx", "node_idx")
+        .toPandas()
+    )
+    clean_out = str(tmp_path / "nodes_clean")
+    clean_ckpt = str(tmp_path / "ckpt_clean")
+    run_resumable(
+        spark,
+        transcripts_df,
+        clean_out,
+        clean_ckpt,
+        n_buckets=16,
+        buckets_per_wave=16,
+        run_id="clean",
+    )
+    clean = (
+        spark.read.parquet(clean_out)
+        .select("conv_id", "turn_idx", "node_idx", "text")
+        .orderBy("conv_id", "turn_idx", "node_idx")
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(resumed, clean)
+
+    # checksums: same bucket content -> same checksum across runs
+    ck = spark.read.parquet(ckpt).toPandas().set_index("bucket")["checksum"]
+    ck_clean = (
+        spark.read.parquet(clean_ckpt).toPandas().set_index("bucket")["checksum"]
+    )
+    assert ck.sort_index().tolist() == ck_clean.sort_index().tolist()
+
+    # lineage metrics present for every bucket
+    lineage = spark.read.parquet(ckpt).toPandas()
+    assert set(lineage["bucket"]) == set(range(16))
+    assert (lineage["input_rows"] >= 0).all()
+
+    shutil.rmtree(tmp_path, ignore_errors=True)
