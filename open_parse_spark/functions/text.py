@@ -1,0 +1,97 @@
+"""Text-analysis functions for the training-data pipeline, built from
+JVM-side ``pyspark.sql.functions`` only (no Python UDFs in the hot path) so
+every expression stays inside whole-stage codegen and can be pushed through
+Catalyst.
+
+Each helper returns a Column; the matching ANSI-SQL (DuckDB) oracle strings
+live in ``open_parse_spark/plans/queries.py`` — the regex dialect used here
+(`[a-z0-9]+`, alternation, `\\b`) is restricted to the common subset of Java
+regex and RE2 so both engines tokenize identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+WORD_RE = "[a-z0-9]+"
+TOKEN_RE = "[A-Za-z0-9]+"
+PUNCT_RE = "[^\\w\\s]"
+
+# tiny per-language stopword sets (deterministic lang-ID heuristic)
+STOPWORDS = {
+    "en": ["the", "a", "and", "of", "to", "is", "in"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein"],
+    "fr": ["le", "la", "et", "les", "des", "est", "une"],
+    "es": ["el", "la", "los", "las", "es", "una", "que"],
+}
+
+
+def words(col: Column) -> Column:
+    """Lower-cased word array (empty strings filtered)."""
+    return F.regexp_extract_all(F.lower(col), F.lit(WORD_RE), 0)
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace/punct-agnostic token count (BPE-ish proxy, SQL-checkable)."""
+    return F.size(F.regexp_extract_all(col, F.lit(TOKEN_RE), 0)).cast("long")
+
+
+def word_count(col: Column) -> Column:
+    return F.size(words(col)).cast("long")
+
+
+def punct_count(col: Column) -> Column:
+    return F.size(F.regexp_extract_all(col, F.lit(PUNCT_RE), 0)).cast("long")
+
+
+def stopword_count(col: Column, lang: str = "en") -> Column:
+    pat = "\\b(" + "|".join(STOPWORDS[lang]) + ")\\b"
+    return F.size(F.regexp_extract_all(F.lower(col), F.lit(pat), 0)).cast("long")
+
+
+def normalized_text(col: Column) -> Column:
+    """Normalization for fingerprinting: lower, collapse non-alnum runs to a
+    single space, trim."""
+    return F.trim(F.regexp_replace(F.lower(col), "[^a-z0-9]+", " "))
+
+
+def fingerprint(col: Column) -> Column:
+    """Document fingerprint = md5 of normalized text (near-dup by
+    normalization; the rolling-hash variant lives in operators/dedup.py)."""
+    return F.md5(normalized_text(col))
+
+
+def word_ngrams(col: Column, n: int = 3) -> Column:
+    """Distinct word n-grams as an array column, built JVM-side:
+    transform(sequence(...)) — no Python, no explode until the caller wants
+    one."""
+    w = words(col)
+    idx = F.sequence(F.lit(0), F.size(w) - n)
+    gram = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(w, (i + j + 1).cast("int")) for j in range(n)]
+        ),
+    )
+    return F.when(F.size(w) >= n, F.array_distinct(gram)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def lang_scores(col: Column) -> list:
+    """(lang, score) pairs for the stopword lang-ID heuristic."""
+    return [(lang, stopword_count(col, lang)) for lang in STOPWORDS]
+
+
+def predict_lang(col: Column) -> Column:
+    """argmax over stopword counts; deterministic tie-break = lexicographic
+    lang code order on equal scores (stable across engines)."""
+    scores = lang_scores(col)
+    # build a struct array sorted by (-score, lang) and take the first
+    pairs = F.array(
+        *[
+            F.struct((-s).alias("neg"), F.lit(lang).alias("lang"))
+            for lang, s in sorted(scores)
+        ]
+    )
+    return F.element_at(F.array_sort(pairs), 1)["lang"]

@@ -1,0 +1,250 @@
+"""Deduplication operators for the large-scale training-data pipeline.
+
+All JVM-side DataFrame ops — no Python UDFs anywhere:
+
+- exact dedup: hash groupBy (md5 of text)
+- fingerprint dedup: md5 of normalized text
+- n-gram Jaccard near-dup: explode distinct word n-grams -> equi-join on
+  gram -> pair counts -> integer-arithmetic Jaccard threshold (no float
+  compare, so the DuckDB oracle matches bit-for-bit)
+- MinHash + LSH: k hash functions via seeded xxhash64, banded signatures,
+  candidate pairs from band-bucket equi-joins (the 100 TB path: no quadratic
+  pair enumeration, shuffle is on (band, bucket) keys)
+- SimHash: 64-bit sign-of-weighted-bit-sums, candidates from 16-bit bands
+
+Scale notes: every join here is an equi-join on a hashed key (uniform by
+construction); hot n-grams are pruned by document frequency (``max_df``)
+*identically* in the oracle SQL, which both bounds the shuffle and kills the
+quadratic blowup of stop-grams.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+from pyspark.sql import DataFrame, functions as F
+
+from open_parse_spark.functions.text import fingerprint, word_ngrams, words
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Groups of byte-identical documents: (text_hash, dup_count, keep_id).
+
+    Single shuffle on the 128-bit hash — uniform keys, map-side partial agg.
+    """
+    return (
+        df.select(F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(
+            F.count(F.lit(1)).alias("dup_count"),
+            F.min(id_col).alias("keep_id"),
+        )
+    )
+
+
+def fingerprint_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Near-dup groups under whitespace/punct/case normalization."""
+    return (
+        df.select(fingerprint(F.col(text_col)).alias("fp"), F.col(id_col))
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("dup_count"),
+            F.min(id_col).alias("keep_id"),
+        )
+    )
+
+
+def _doc_ngrams(
+    df: DataFrame, text_col: str, id_col: str, n: int, max_df: int
+) -> DataFrame:
+    """(id, gram) exploded distinct n-grams, with grams appearing in more
+    than ``max_df`` docs pruned (stop-gram pruning; mirrored in the oracle)."""
+    grams = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_ngrams(F.col(text_col), n)).alias("gram"),
+    )
+    hot = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df_count"))
+        .where(F.col("df_count") > max_df)
+        .select("gram")
+    )
+    return grams.join(F.broadcast(hot), "gram", "left_anti")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num: int = 1,
+    den: int = 2,
+    max_df: int = 50,
+) -> DataFrame:
+    """Near-duplicate pairs with word-n-gram Jaccard >= num/den.
+
+    Integer-only comparison ``den*inter >= num*union`` keeps the oracle
+    bit-exact.  Returns (doc_a, doc_b, inter, uni).
+    """
+    grams = _doc_ngrams(df, text_col, id_col, n, max_df)
+    sizes = grams.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams"))
+    pairs = (
+        grams.alias("a")
+        .join(grams.alias("b"), "gram")
+        .where(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        pairs.join(sizes.withColumnRenamed("id", "doc_a").alias("sa"), "doc_a")
+        .join(
+            sizes.withColumnRenamed("id", "doc_b")
+            .withColumnRenamed("n_grams", "n_grams_b")
+            .alias("sb"),
+            "doc_b",
+        )
+        .withColumn("uni", F.col("n_grams") + F.col("n_grams_b") - F.col("inter"))
+        .where(F.lit(den) * F.col("inter") >= F.lit(num) * F.col("uni"))
+        .select("doc_a", "doc_b", "inter", "uni")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 32,
+) -> DataFrame:
+    """MinHash signatures: sig_j = min over n-grams of xxhash64(j, gram).
+
+    One explode + one groupBy with ``num_hashes`` min-aggregates: a single
+    shuffle, all JVM-side."""
+    grams = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_ngrams(F.col(text_col), n)).alias("gram"),
+    )
+    aggs = [
+        F.min(F.xxhash64(F.lit(j), F.col("gram"))).alias(f"sig_{j}")
+        for j in range(num_hashes)
+    ]
+    return grams.groupBy("id").agg(*aggs)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """LSH candidate pairs: docs sharing any band bucket.
+
+    The scale path for near-dup at 100 TB: pair enumeration is bounded by
+    bucket sizes, shuffle keys are (band, bucket_hash) — uniform."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, n, num_hashes)
+    band_cols = [
+        F.xxhash64(
+            *[F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        ).alias(f"band_{b}")
+        for b in range(bands)
+    ]
+    banded = sigs.select("id", *band_cols)
+    buckets = banded.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), F.col(f"band_{b}").alias("bucket"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    return (
+        buckets.alias("a")
+        .join(buckets.alias("b"), ["band", "bucket"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def minhash_neardup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num: int = 1,
+    den: int = 2,
+    max_df: int = 50,
+) -> DataFrame:
+    """MinHash-LSH candidates verified by exact n-gram Jaccard — candidates
+    bound the work; verification is exact so output quality matches the
+    brute-force operator."""
+    cands = minhash_lsh_candidates(df, text_col, id_col, n)
+    exact = ngram_jaccard_pairs(df, text_col, id_col, n, num, den, max_df)
+    return cands.join(exact, ["doc_a", "doc_b"]).select(
+        "doc_a", "doc_b", "inter", "uni"
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash over words: bit_i = sign(sum over words of
+    (+1 if xxhash64(word) bit_i else -1)).  All bit ops JVM-side."""
+    w = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(words(F.col(text_col))).alias("word"),
+    ).withColumn("h", F.xxhash64("word"))
+    bit_sums = w.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)
+            ).alias(f"bs_{i}")
+            for i in range(64)
+        ]
+    )
+    sim = F.lit(0).cast("long")
+    for i in range(64):
+        sim = sim.bitwiseOR(
+            F.when(F.col(f"bs_{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return bit_sums.select("id", sim.alias("simhash"))
+
+
+def simhash_candidates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Near-dup candidates: equal 16-bit band of the simhash (<= 3-bit global
+    difference guaranteed caught in at least one band)."""
+    s = simhash(df, text_col, id_col)
+    bands = s.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("simhash"), 16 * b)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("bucket"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    return (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band", "bucket"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
+        .distinct()
+    )

@@ -1,0 +1,404 @@
+"""Query registry: every implemented operator exposed as a (spark_fn,
+oracle_sql) pair for the driver's correctness gate.
+
+Conventions (driver contract in ``__spark_entry__.py``):
+- each spark fn takes (spark, sf_dir) and returns a DataFrame
+- oracle SQL runs on DuckDB over the same parquet (views pre-registered)
+- column names and types are aligned on both sides; float outputs avoided or
+  rounded; thresholds compared in integer arithmetic so hashes match
+- parse-pipeline queries have no SQL oracle (greedy order-dependent per-turn
+  folds are not SQL-expressible); they get rows-only checks here and full
+  byte-equality coverage in tests/ against the single-threaded oracle
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional, Tuple
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from open_parse_spark.functions import text as T
+from open_parse_spark.operators import dedup as D
+from open_parse_spark.operators import similarity as S
+from open_parse_spark.spark.pipeline import parse_transcripts
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+def _tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# transcripts derivation: documents -> (conv_id, turn_idx, role, text, tool, ts)
+# ---------------------------------------------------------------------------
+
+
+def documents_as_transcripts(docs: DataFrame, convs: int = 64) -> DataFrame:
+    """Deterministic mapping of the documents table into the BASELINE.json
+    transcript shape (input_hint) so the parse pipeline runs on driver data."""
+    return docs.select(
+        F.concat(
+            F.lit("conv-"), F.lpad((F.col("doc_id") % convs).cast("string"), 6, "0")
+        ).alias("conv_id"),
+        F.floor(F.col("doc_id") / convs).cast("int").alias("turn_idx"),
+        F.element_at(
+            F.array(F.lit("user"), F.lit("assistant"), F.lit("tool")),
+            (F.floor(F.col("doc_id") / convs) % 3).cast("int") + 1,
+        ).alias("role"),
+        F.col("text"),
+        F.lit("").alias("tool"),
+        (
+            F.lit("2020-01-01 00:00:00").cast("timestamp")
+            + F.make_interval(secs=F.col("doc_id").cast("double"))
+        ).alias("ts"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# parse-pipeline queries (rows-only: not SQL-expressible)
+# ---------------------------------------------------------------------------
+
+
+def q_parse_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: full extraction pipeline over transcripts derived from the
+    documents table; one row per content node in stable order."""
+    transcripts = documents_as_transcripts(_tbl(spark, sf_dir, "documents"))
+    nodes = parse_transcripts(transcripts, repartition_for_skew=False)
+    return nodes.select(
+        "conv_id", "turn_idx", "node_idx", "text", "tokens"
+    ).orderBy("conv_id", "turn_idx", "node_idx")
+
+
+def q_parse_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation extraction metrics (lineage companion)."""
+    from open_parse_spark.spark.pipeline import parse_quality_metrics
+
+    transcripts = documents_as_transcripts(_tbl(spark, sf_dir, "documents"))
+    nodes = parse_transcripts(transcripts, repartition_for_skew=False)
+    return parse_quality_metrics(nodes)
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs verified by exact Jaccard (scale path)."""
+    return D.minhash_neardup_pairs(_tbl(spark, sf_dir, "documents")).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash 16-bit-band near-dup candidates."""
+    return D.simhash_candidates(_tbl(spark, sf_dir, "documents")).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH bucketed ANN (approximate scale path)."""
+    emb = _tbl(spark, sf_dir, "embeddings")
+    return S.lsh_topk(emb, emb.where(F.col("vec_id") < 10), k=5)
+
+
+# ---------------------------------------------------------------------------
+# operator analogs + training-data ops WITH DuckDB oracles
+# ---------------------------------------------------------------------------
+
+
+def q_op_remove_repeated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9 RemoveRepeatedElements analog (basic_transforms.py:235-258):
+    drop ALL copies of any text occurring more than threshold=2 times."""
+    docs = _tbl(spark, sf_dir, "documents")
+    counts = docs.groupBy("text").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        docs.join(F.broadcast(counts.where(F.col("c") > 2)), "text", "left_anti")
+        .select("doc_id")
+    )
+
+
+SQL_OP_REMOVE_REPEATED = """
+SELECT doc_id FROM (
+  SELECT doc_id, count(*) OVER (PARTITION BY text) AS c FROM documents
+) t WHERE c <= 2
+"""
+
+
+def q_op_remove_below_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P10 RemoveNodesBelowNTokens analog (basic_transforms.py:261-275) with
+    a SQL-checkable token counter."""
+    docs = _tbl(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", T.token_count(F.col("text")).alias("n_tokens"))
+        .where(F.col("n_tokens") > 50)
+    )
+
+
+SQL_OP_REMOVE_BELOW_TOKENS = """
+SELECT doc_id, len(regexp_extract_all(text, '[A-Za-z0-9]+'))::BIGINT AS n_tokens
+FROM documents
+WHERE len(regexp_extract_all(text, '[A-Za-z0-9]+')) > 50
+"""
+
+
+def q_op_spatial_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 RemoveTextInsideTables analog (basic_transforms.py:122-171) as a
+    genuine Spark spatial anti-join: text boxes derived from lineitem,
+    table boxes from part (broadcast dim), strict-inequality intersection,
+    equi-key on page + range filter."""
+    li = _tbl(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_orderkey") % 4).alias("page"),
+        ((F.col("l_partkey") * 7) % 480).alias("x0"),
+        ((F.col("l_suppkey") * 11) % 680).alias("y0"),
+    ).withColumn("x1", F.col("x0") + 30).withColumn("y1", F.col("y0") + 12)
+    pt = _tbl(spark, sf_dir, "part").select(
+        (F.col("p_partkey") % 4).alias("tpage"),
+        ((F.col("p_partkey") * 13) % 400).alias("tx0"),
+        ((F.col("p_partkey") * 29) % 600).alias("ty0"),
+    ).withColumn("tx1", F.col("tx0") + 150).withColumn("ty1", F.col("ty0") + 100)
+    cond = (
+        (li["page"] == pt["tpage"])
+        & (li["x1"] > pt["tx0"])
+        & (li["x0"] < pt["tx1"])
+        & (li["y1"] > pt["ty0"])
+        & (li["y0"] < pt["ty1"])
+    )
+    return li.join(F.broadcast(pt), cond, "left_anti").select(
+        "l_orderkey", "l_linenumber"
+    )
+
+
+SQL_OP_SPATIAL_ANTI_JOIN = """
+WITH l AS (
+  SELECT l_orderkey, l_linenumber,
+         l_orderkey % 4 AS page,
+         (l_partkey * 7) % 480 AS x0,
+         (l_suppkey * 11) % 680 AS y0,
+         (l_partkey * 7) % 480 + 30 AS x1,
+         (l_suppkey * 11) % 680 + 12 AS y1
+  FROM lineitem
+), p AS (
+  SELECT p_partkey % 4 AS tpage,
+         (p_partkey * 13) % 400 AS tx0,
+         (p_partkey * 29) % 600 AS ty0,
+         (p_partkey * 13) % 400 + 150 AS tx1,
+         (p_partkey * 29) % 600 + 100 AS ty1
+  FROM part
+)
+SELECT l_orderkey, l_linenumber FROM l
+WHERE NOT EXISTS (
+  SELECT 1 FROM p
+  WHERE p.tpage = l.page
+    AND l.x1 > p.tx0 AND l.x0 < p.tx1 AND l.y1 > p.ty0 AND l.y0 < p.ty1
+)
+"""
+
+
+def q_op_reading_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P0 reading-order sort analog (schemas.py:579-598): deterministic rank
+    by a (group, -size, id) key."""
+    from pyspark.sql.window import Window
+
+    docs = _tbl(spark, sf_dir, "documents")
+    w = Window.orderBy(F.col("source"), F.col("n_chars").desc(), F.col("doc_id"))
+    return docs.select(
+        "doc_id", F.row_number().over(w).cast("long").alias("rord")
+    )
+
+
+SQL_OP_READING_ORDER = """
+SELECT doc_id,
+       row_number() OVER (ORDER BY source, n_chars DESC, doc_id) AS rord
+FROM documents
+"""
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_duplicates(_tbl(spark, sf_dir, "documents"))
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(text) AS text_hash, count(*) AS dup_count, min(doc_id) AS keep_id
+FROM documents GROUP BY md5(text)
+"""
+
+
+def q_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.fingerprint_duplicates(_tbl(spark, sf_dir, "documents"))
+
+
+SQL_DEDUP_FINGERPRINT = """
+SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp,
+       count(*) AS dup_count, min(doc_id) AS keep_id
+FROM documents
+GROUP BY 1
+"""
+
+
+def q_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.ngram_jaccard_pairs(
+        _tbl(spark, sf_dir, "documents"), n=3, num=1, den=2, max_df=50
+    )
+
+
+SQL_NEARDUP_JACCARD = """
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents
+), g0 AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, len(ws) - 2),
+                       i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS grams
+  FROM w WHERE len(ws) >= 3
+), g AS (
+  SELECT doc_id, unnest(grams) AS gram FROM g0
+), hot AS (
+  SELECT gram FROM g GROUP BY gram HAVING count(*) > 50
+), gg AS (
+  SELECT doc_id, gram FROM g WHERE gram NOT IN (SELECT gram FROM hot)
+), sizes AS (
+  SELECT doc_id, count(*) AS n_grams FROM gg GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM gg a JOIN gg b USING (gram)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, inter, sa.n_grams + sb.n_grams - inter AS uni
+FROM pairs
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE 2 * inter >= (sa.n_grams + sb.n_grams - inter)
+"""
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _tbl(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        T.word_count(t).alias("n_words"),
+        T.token_count(t).alias("n_tokens"),
+        T.punct_count(t).alias("n_punct"),
+        T.stopword_count(t, "en").alias("n_stop_en"),
+    )
+
+
+SQL_TEXT_QUALITY = """
+SELECT doc_id,
+       len(regexp_extract_all(lower(text), '[a-z0-9]+'))::BIGINT AS n_words,
+       len(regexp_extract_all(text, '[A-Za-z0-9]+'))::BIGINT AS n_tokens,
+       len(regexp_extract_all(text, '[^\\w\\s]'))::BIGINT AS n_punct,
+       len(regexp_extract_all(lower(text), '\\b(the|a|and|of|to|is|in)\\b'))::BIGINT AS n_stop_en
+FROM documents
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _tbl(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.predict_lang(F.col("text")).alias("pred_lang"))
+
+
+_STOP_SQL = {
+    "de": "\\b(der|die|das|und|ist|nicht|ein)\\b",
+    "en": "\\b(the|a|and|of|to|is|in)\\b",
+    "es": "\\b(el|la|los|las|es|una|que)\\b",
+    "fr": "\\b(le|la|et|les|des|est|une)\\b",
+}
+
+SQL_LANG_ID = (
+    "WITH scores AS (\n"
+    + "\nUNION ALL\n".join(
+        f"  SELECT doc_id, '{lang}' AS lang, "
+        f"len(regexp_extract_all(lower(text), '{pat}'))::BIGINT AS score FROM documents"
+        for lang, pat in sorted(_STOP_SQL.items())
+    )
+    + "\n)\nSELECT doc_id, lang AS pred_lang FROM ("
+    "SELECT doc_id, lang, row_number() OVER ("
+    "PARTITION BY doc_id ORDER BY score DESC, lang) AS rn FROM scores) t "
+    "WHERE rn = 1"
+)
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _tbl(spark, sf_dir, "embeddings")
+    return S.brute_force_topk(emb, emb.where(F.col("vec_id") < 10), k=5)
+
+
+SQL_ANN_COSINE_TOPK = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10
+), c AS (
+  SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings
+), s AS (
+  SELECT query_id, neighbor_id,
+         list_dot_product(qv, cv) /
+         (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS sim
+  FROM q, c WHERE query_id <> neighbor_id
+), r AS (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+  FROM s
+)
+SELECT query_id, neighbor_id, rank, round(sim, 4) AS sim4 FROM r WHERE rank <= 5
+"""
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation (the batch twin of the Structured
+    Streaming job in streaming/)."""
+    ev = _tbl(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss").alias(
+            "hour"
+        ),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("value"), 4).alias("min_value"),
+        F.round(F.max("value"), 4).alias("max_value"),
+    )
+
+
+SQL_EVENTS_HOURLY = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       event_type,
+       count(*) AS n,
+       round(min(value), 4) AS min_value,
+       round(max(value), 4) AS max_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
+    # parse engine (rows-only; byte-equality covered in tests/)
+    "parse_flagship": (q_parse_flagship, None),
+    "parse_metrics": (q_parse_metrics, None),
+    "dedup_minhash": (q_dedup_minhash, None),
+    "dedup_simhash": (q_dedup_simhash, None),
+    "ann_lsh": (q_ann_lsh, None),
+    # SQL-checked
+    "op_remove_repeated": (q_op_remove_repeated, SQL_OP_REMOVE_REPEATED),
+    "op_remove_below_tokens": (q_op_remove_below_tokens, SQL_OP_REMOVE_BELOW_TOKENS),
+    "op_spatial_anti_join": (q_op_spatial_anti_join, SQL_OP_SPATIAL_ANTI_JOIN),
+    "op_reading_order": (q_op_reading_order, SQL_OP_READING_ORDER),
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "dedup_fingerprint": (q_dedup_fingerprint, SQL_DEDUP_FINGERPRINT),
+    "neardup_jaccard": (q_neardup_jaccard, SQL_NEARDUP_JACCARD),
+    "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
+    "lang_id": (q_lang_id, SQL_LANG_ID),
+    "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
+    "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
+}
+
+
+def queries() -> Dict[str, QueryFn]:
+    return {name: fn for name, (fn, _sql) in REGISTRY.items()}
+
+
+def oracle_sql() -> Dict[str, str]:
+    return {name: sql for name, (_fn, sql) in REGISTRY.items() if sql is not None}
