@@ -54,7 +54,12 @@ _MD_CLEANUP = [
 
 
 def clean_markdown_formatting(text: str) -> str:
-    """Reference: schemas.py:160-187 (ordered regex cleanup)."""
+    """Reference: schemas.py:160-187 (ordered regex cleanup).
+
+    Fast path: every pattern requires a ``*`` or ``_`` to match, so text
+    without either character is returned unchanged (semantics identical)."""
+    if "*" not in text and "_" not in text:
+        return text
     for pattern, replacement in _MD_CLEANUP:
         text = pattern.sub(replacement, text)
     return text
@@ -405,15 +410,15 @@ class Node:
             return False
         return bool(bullet_regex.match(last_line))
 
-    @property
+    @cached_property
     def is_stub(self) -> bool:
         return self.tokens < STUB_TOKEN_LIMIT
 
-    @property
+    @cached_property
     def is_small(self) -> bool:
         return self.tokens < TOKENIZATION_LOWER_LIMIT
 
-    @property
+    @cached_property
     def is_large(self) -> bool:
         return self.tokens > TOKENIZATION_UPPER_LIMIT
 

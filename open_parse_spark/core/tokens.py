@@ -22,7 +22,6 @@ charge ``ceil(len(piece)/4)`` tokens for letter runs longer than 4 chars
 
 from __future__ import annotations
 
-import math
 import re
 from functools import lru_cache
 from typing import Iterable, List, Optional
@@ -34,26 +33,24 @@ try:  # pragma: no cover - exercised only when tiktoken is installed
 except Exception:  # pragma: no cover
     _ENCODER = None
 
-# cl100k_base-style pre-tokenizer (simplified to `re`-compatible syntax).
+# cl100k_base-style pre-tokenizer where EVERY match counts as exactly one
+# token (letter runs are chunked to <=4 chars by the regex engine itself, so
+# counting = one C-level findall pass, no per-piece Python):
+#  - contractions: 1 token
+#  - letter runs: ceil(len/4) tokens (BPE ~4 chars/token for English)
+#  - digit runs: <=3 digits per token (like cl100k)
+#  - punctuation runs: <=3 chars per token
+#  - whitespace: a single space merges into the next word (0 tokens);
+#    longer runs cost 1 per run
 _PRETOKEN_RE = re.compile(
-    r"'(?:[sdmt]|ll|ve|re)"  # contractions
-    r"|[A-Za-zÀ-￿]+"  # letter runs (incl. non-ascii letters, approx)
-    r"|[0-9]{1,3}"  # number runs, <=3 digits per token like cl100k
-    r"|[^\sA-Za-z0-9À-￿]+"  # punctuation runs
-    r"| +"  # space runs (leading spaces usually merge into next token;
-    # counted once per run here)
+    r"'(?:[sdmt]|ll|ve|re)"
+    r"|[A-Za-zÀ-￿]{1,4}"
+    r"|[0-9]{1,3}"
+    r"|[^\sA-Za-z0-9À-￿]{1,3}"
+    r"|\s{2,}"
 )
 
-
-def _approx_piece_tokens(piece: str) -> int:
-    if piece.isspace():
-        # A single space usually merges with the following word in BPE;
-        # longer runs cost extra tokens.
-        return 0 if len(piece) == 1 else 1
-    if piece[0].isalpha():
-        return max(1, math.ceil(len(piece) / 4))
-    # punctuation / digits: short runs are single tokens
-    return max(1, math.ceil(len(piece) / 2)) if len(piece) > 4 else 1
+_findall = _PRETOKEN_RE.findall
 
 
 @lru_cache(maxsize=65536)
@@ -65,7 +62,7 @@ def num_tokens(string: Optional[str]) -> int:
         return 0
     if _ENCODER is not None:  # pragma: no cover
         return len(_ENCODER.encode(string))
-    return sum(_approx_piece_tokens(p) for p in _PRETOKEN_RE.findall(string))
+    return len(_findall(string))
 
 
 def num_tokens_batch(strings: Iterable[Optional[str]]) -> List[int]:

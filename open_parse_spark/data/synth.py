@@ -256,6 +256,19 @@ def gen_transcripts(
 
 
 def write_transcripts_parquet(path: str, **kwargs) -> pd.DataFrame:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
     df = gen_transcripts(**kwargs)
-    df.to_parquet(path, index=False)
+    table = pa.Table.from_pandas(df, preserve_index=False)
+    # Spark cannot read TIMESTAMP(NANOS); coerce to microseconds.
+    # Small row groups -> many input splits -> parallel scan (a single giant
+    # row group would serialize the whole first stage).
+    pq.write_table(
+        table,
+        path,
+        coerce_timestamps="us",
+        allow_truncated_timestamps=True,
+        row_group_size=2048,
+    )
     return df

@@ -135,14 +135,40 @@ def _parse_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(out)
 
 
+def _input_file_bytes(df: DataFrame) -> int:
+    """Total input bytes from file metadata (no data is read)."""
+    import os
+
+    total = 0
+    try:
+        for f in df.inputFiles():
+            if f.startswith("file:"):
+                f = f[len("file:") :]
+            try:
+                total += os.stat(f).st_size
+            except OSError:
+                return 0
+    except Exception:
+        return 0
+    return total
+
+
 def payload_size_histogram(
-    df: DataFrame, probabilities: Tuple[float, ...] = (0.5, 0.9, 0.99, 1.0)
+    df: DataFrame,
+    probabilities: Tuple[float, ...] = (0.5, 0.9, 0.99, 1.0),
+    sample_fraction: Optional[float] = None,
 ) -> dict:
     """Approximate payload-size histogram used to size the map parallelism.
 
     One pass over just the two length expressions (column-pruned scan);
-    approxQuantile is a driver-side sketch merge, no full shuffle.
+    approxQuantile is a driver-side sketch merge, no full shuffle.  At scale,
+    sample: the histogram only needs ~1e4 rows to plan partitioning (at
+    100 TB you would read it off Iceberg column stats instead).
     """
+    scale = 1.0
+    if sample_fraction is not None and 0 < sample_fraction < 1:
+        df = df.sample(fraction=sample_fraction, seed=42)
+        scale = 1.0 / sample_fraction
     sized = df.select(
         (
             F.coalesce(F.length("text"), F.lit(0))
@@ -156,8 +182,8 @@ def payload_size_histogram(
     ).collect()[0]
     return {
         "quantiles": dict(zip(probabilities, quantiles)),
-        "total_bytes": agg["total_bytes"] or 0,
-        "rows": agg["rows"],
+        "total_bytes": int((agg["total_bytes"] or 0) * scale),
+        "rows": int(agg["rows"] * scale),
     }
 
 
@@ -175,31 +201,76 @@ def plan_partitions(
 
 def parse_transcripts(
     df: DataFrame,
-    repartition_for_skew: bool = True,
+    repartition_for_skew: "bool | str" = "auto",
     num_partitions: Optional[int] = None,
     target_bytes_per_partition: int = 64 * 1024 * 1024,
+    histogram_sample: Optional[float] = 0.01,
     drop_errors: bool = False,
 ) -> DataFrame:
     """transcripts (conv_id, turn_idx, role, text, tool, ts) -> node rows.
 
-    Column pruning happens here (only INPUT_COLS reach the scan); the
-    optional skew repartition hashes at *turn* granularity so no conv_id,
-    however large, can dominate a partition.
+    Column pruning happens here (only INPUT_COLS reach the scan).
+
+    ``repartition_for_skew``:
+    - ``False``: pure map over the scan's natural splits (zero shuffle).
+    - ``True``: always shuffle on a *turn-level* hash (the finest salt — no
+      conv_id, however large, can dominate a partition).  Needed only for
+      non-splittable / conv-clustered sources; shuffling fat string rows is
+      GC-heavy, so prefer ``auto``.
+    - ``"auto"`` (default): use the payload-size histogram to size the scan
+      splits themselves (``spark.sql.files.maxPartitionBytes``) — balancing
+      at the scan, moving zero bytes.  Turns are independent, so there is no
+      algorithmic need for co-location; byte-ranged parquet/Iceberg splits
+      are inherently size-balanced even under conv_id clustering.  Falls
+      back to the salted shuffle only when the source is not file-split
+      (e.g. an in-memory DataFrame) and remains under-split.
     """
+    spark = df.sparkSession
     pruned = df.select(*INPUT_COLS)
-    if repartition_for_skew:
-        if num_partitions is None:
-            hist = payload_size_histogram(pruned)
-            num_partitions = plan_partitions(
-                hist,
-                df.sparkSession.sparkContext.defaultParallelism,
-                target_bytes_per_partition,
-            )
+    parallelism = spark.sparkContext.defaultParallelism
+    if repartition_for_skew is True:
+        planned = num_partitions
+        if planned is None:
+            hist = payload_size_histogram(pruned, sample_fraction=histogram_sample)
+            planned = plan_partitions(hist, parallelism, target_bytes_per_partition)
         # turn-level salt: uniform by construction, no hot conv_id keys
         salted = pruned.withColumn(
             "_salt", F.xxhash64(F.col("conv_id"), F.col("turn_idx"))
         )
-        pruned = salted.repartition(num_partitions, "_salt").drop("_salt")
+        pruned = salted.repartition(planned, "_salt").drop("_salt")
+    elif repartition_for_skew == "auto":
+        n_splits = pruned.rdd.getNumPartitions()
+        if n_splits < parallelism:
+            # re-split the scan from file-size metadata (no data scan):
+            # target ~3 waves per core, >=1 MiB splits
+            total_bytes = _input_file_bytes(df)
+            if total_bytes > 0:
+                split_bytes = max(
+                    1 << 20,
+                    min(
+                        target_bytes_per_partition,
+                        total_bytes // (3 * parallelism) or 1 << 20,
+                    ),
+                )
+                spark.conf.set(
+                    "spark.sql.files.maxPartitionBytes", str(split_bytes)
+                )
+                n_splits = pruned.rdd.getNumPartitions()
+        if n_splits < parallelism:
+            # non-file source that cannot be re-split: salted shuffle on a
+            # payload-size-histogram partition plan
+            planned = num_partitions
+            if planned is None:
+                hist = payload_size_histogram(
+                    pruned, sample_fraction=histogram_sample
+                )
+                planned = plan_partitions(
+                    hist, parallelism, target_bytes_per_partition
+                )
+            salted = pruned.withColumn(
+                "_salt", F.xxhash64(F.col("conv_id"), F.col("turn_idx"))
+            )
+            pruned = salted.repartition(planned, "_salt").drop("_salt")
     nodes = pruned.mapInPandas(_parse_partition, schema=NODE_SCHEMA)
     if drop_errors:
         nodes = nodes.where(F.col("node_idx") >= 0)

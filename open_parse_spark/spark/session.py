@@ -12,6 +12,7 @@ def get_spark(
     master: str | None = None,
     shuffle_partitions: int = 32,
     arrow_max_records_per_batch: int = 512,
+    max_partition_bytes: str = "32m",
 ) -> SparkSession:
     """Arrow enabled, small Arrow batches (megabyte payloads must not blow up
     executor memory: FIXTURES payloads are log-normal with a heavy tail), AQE
@@ -28,7 +29,10 @@ def get_spark(
         )
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # smaller input splits -> scan parallelism even on few large files
+        # (payloads are fat rows; 32m keeps per-task memory bounded too)
+        .config("spark.sql.files.maxPartitionBytes", max_partition_bytes)
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.sql.session.timeZone", "UTC")
         .getOrCreate()
     )
