@@ -97,6 +97,36 @@ def _decode_page_elements(page_obj: Dict[str, Any]) -> List[Element]:
                     ),
                 )
             )
+        elif kind == "ocr_text":
+            # OCR-engine path (T6): raw OCR lines with pymupdf-style font
+            # flags, merged by overlap at similar height
+            # (reference text/pymupdf/core.py:35-102)
+            from open_parse_spark.core.spans import lines_from_ocr_output
+
+            lines = lines_from_ocr_output(
+                el.get("lines", []), error_margin=float(el.get("error_margin", 0))
+            )
+            if not lines:
+                continue
+            if "bbox" in el:
+                x0, y0, x1, y1 = el["bbox"]
+            else:
+                x0, y0, x1, y1 = get_lines_bbox(lines)
+            out.append(
+                TextElement(
+                    text="\n".join(line.text for line in lines),
+                    lines=tuple(lines),
+                    bbox=Bbox(
+                        page=page,
+                        page_width=width,
+                        page_height=height,
+                        x0=float(x0),
+                        y0=float(y0),
+                        x1=float(x1),
+                        y1=float(y1),
+                    ),
+                )
+            )
         elif kind == "table":
             headers = clean_headers(list(el.get("headers", [])))
             rows = el.get("rows", [])

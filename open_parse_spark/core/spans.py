@@ -109,6 +109,50 @@ def create_line_element(
     return LineElement(bbox=bbox, spans=tuple(spans))
 
 
+def is_bold_flags(flags: int) -> bool:
+    """PyMuPDF font-flag decode; reference text/pymupdf/core.py:27-28."""
+    return bool(flags & 2**4)
+
+
+def is_italic_flags(flags: int) -> bool:
+    """Reference text/pymupdf/core.py:31-32."""
+    return bool(flags & 2**1)
+
+
+def lines_from_ocr_output(lines: Sequence[dict], error_margin: float = 0) -> List[LineElement]:
+    """OCR line assembly with overlap merge (T6).
+
+    Greedy: each incoming line merges into the FIRST already-combined line it
+    overlaps at similar height; reference text/pymupdf/core.py:35-66.
+    """
+    combined: List[LineElement] = []
+    for line in lines:
+        bbox = tuple(line["bbox"])
+        spans = tuple(
+            TextSpan(
+                text=span["text"],
+                is_bold=is_bold_flags(span.get("flags", 0))
+                if "flags" in span
+                else bool(span.get("is_bold", False)),
+                is_italic=is_italic_flags(span.get("flags", 0))
+                if "flags" in span
+                else bool(span.get("is_italic", False)),
+                size=float(span.get("size", 0.0)),
+            )
+            for span in line["spans"]
+        )
+        line_element = LineElement(bbox=bbox, spans=spans)
+        for i, other in enumerate(combined):
+            if line_element.overlaps(
+                other, error_margin=error_margin
+            ) and line_element.is_at_similar_height(other, error_margin=error_margin):
+                combined[i] = line_element.combine(other)
+                break
+        else:
+            combined.append(line_element)
+    return combined
+
+
 def get_lines_bbox(lines: List[LineElement]) -> Tuple[float, float, float, float]:
     """Min/max fold over line bboxes; reference text/pdfminer/core.py:151-157."""
     return (

@@ -99,6 +99,68 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_topk(emb, emb.where(F.col("vec_id") < 10), k=5)
 
 
+def q_parse_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemanticIngestionPipeline variant (P11, reference ingest.py:95-136)
+    with the deterministic hashing-embedding client."""
+    from open_parse_spark.core.parse import node_to_record
+    from open_parse_spark.core.payload import decode_payload, elements_to_nodes
+    from open_parse_spark.core.semantic import semantic_pipeline_transforms
+    from open_parse_spark.core.transforms import run_pipeline
+    from open_parse_spark.spark.pipeline import INPUT_COLS
+
+    import pandas as pd
+
+    transcripts = documents_as_transcripts(_tbl(spark, sf_dir, "documents"))
+
+    def parse_sem(batches):
+        # min_tokens is a constructor param in the reference too
+        # (ingest.py:100-106); 16 keeps small synthetic docs visible
+        transforms = semantic_pipeline_transforms(min_tokens=16)
+        for pdf in batches:
+            rows = {k: [] for k in ("conv_id", "turn_idx", "node_idx", "text", "tokens")}
+            for conv_id, turn_idx, text, tool in zip(
+                pdf["conv_id"], pdf["turn_idx"], pdf["text"], pdf["tool"]
+            ):
+                nodes = run_pipeline(
+                    elements_to_nodes(decode_payload(text, tool)), transforms
+                )
+                for i, node in enumerate(nodes):
+                    rec = node_to_record(node, i)
+                    rows["conv_id"].append(conv_id)
+                    rows["turn_idx"].append(int(turn_idx))
+                    rows["node_idx"].append(i)
+                    rows["text"].append(rec["text"])
+                    rows["tokens"].append(rec["tokens"])
+            yield pd.DataFrame(rows)
+
+    return transcripts.select(*INPUT_COLS).mapInPandas(
+        parse_sem,
+        "conv_id string, turn_idx int, node_idx int, text string, tokens long",
+    )
+
+
+def q_export_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2 llama-index-style PREV/NEXT/PARENT relations over parsed nodes."""
+    from open_parse_spark.plans.exports import nodes_with_relations
+
+    transcripts = documents_as_transcripts(_tbl(spark, sf_dir, "documents"))
+    nodes = parse_transcripts(transcripts, repartition_for_skew=False)
+    return nodes_with_relations(nodes).select(
+        "conv_id", "turn_idx", "node_idx", "node_id", "prev_id", "next_id", "parent_id"
+    )
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column feature extraction via mapInPandas (decode stubbed)."""
+    from open_parse_spark.operators.multimodal import (
+        extract_media_features,
+        synthesize_media_from_documents,
+    )
+
+    media = synthesize_media_from_documents(_tbl(spark, sf_dir, "documents"))
+    return extract_media_features(media)
+
+
 # ---------------------------------------------------------------------------
 # operator analogs + training-data ops WITH DuckDB oracles
 # ---------------------------------------------------------------------------
@@ -343,6 +405,51 @@ SELECT query_id, neighbor_id, rank, round(sim, 4) AS sim4 FROM r WHERE rank <= 5
 """
 
 
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metadata over binary media columns (sha/byte-length JVM-side)."""
+    from open_parse_spark.operators.multimodal import synthesize_media_from_documents
+
+    media = synthesize_media_from_documents(_tbl(spark, sf_dir, "documents"))
+    return media.select(
+        "media_id",
+        "kind",
+        F.octet_length(F.col("data").cast("string")).cast("long").alias("n_bytes"),
+        F.sha2(F.col("data").cast("string"), 256).alias("sha"),
+    )
+
+
+SQL_MULTIMODAL_META = """
+SELECT doc_id AS media_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'image'
+            WHEN doc_id % 3 = 1 THEN 'audio'
+            ELSE 'video' END AS kind,
+       octet_length(encode(text))::BIGINT AS n_bytes,
+       sha256(text) AS sha
+FROM documents
+"""
+
+
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan (sequence+explode, JVM-side)."""
+    from open_parse_spark.operators.multimodal import (
+        sample_video_frames,
+        synthesize_media_from_documents,
+    )
+
+    media = synthesize_media_from_documents(_tbl(spark, sf_dir, "documents"))
+    return sample_video_frames(media, every_ms=1000).select(
+        "media_id", F.col("frame_ts_ms").cast("long").alias("frame_ts_ms")
+    )
+
+
+SQL_MULTIMODAL_FRAMES = """
+SELECT doc_id AS media_id,
+       unnest(generate_series(0, (doc_id % 10000 + 1000)::BIGINT, 1000)) AS frame_ts_ms
+FROM documents
+WHERE doc_id % 3 = 2
+"""
+
+
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window aggregation (the batch twin of the Structured
     Streaming job in streaming/)."""
@@ -381,6 +488,9 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "dedup_minhash": (q_dedup_minhash, None),
     "dedup_simhash": (q_dedup_simhash, None),
     "ann_lsh": (q_ann_lsh, None),
+    "parse_semantic": (q_parse_semantic, None),
+    "export_relations": (q_export_relations, None),
+    "multimodal_features": (q_multimodal_features, None),
     # SQL-checked
     "op_remove_repeated": (q_op_remove_repeated, SQL_OP_REMOVE_REPEATED),
     "op_remove_below_tokens": (q_op_remove_below_tokens, SQL_OP_REMOVE_BELOW_TOKENS),
@@ -393,6 +503,8 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
     "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
+    "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
+    "multimodal_frames": (q_multimodal_frames, SQL_MULTIMODAL_FRAMES),
 }
 
 

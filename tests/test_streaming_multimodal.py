@@ -1,0 +1,91 @@
+"""Structured Streaming jobs + multimodal operators at the Spark level."""
+
+import pandas as pd
+import pytest
+
+from open_parse_spark.data.synth import write_transcripts_parquet
+
+
+@pytest.fixture(scope="module")
+def stream_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("stream_in")
+    write_transcripts_parquet(str(d / "part-0.parquet"), n_convs=10, avg_turns=4, seed=7)
+    write_transcripts_parquet(str(d / "part-1.parquet"), n_convs=10, avg_turns=4, seed=8)
+    # NOTE: both files share conv_id values (generator namespace), so tests
+    # sort on text as a final tiebreak
+    return str(d)
+
+
+def test_streaming_parse_matches_batch(spark, stream_dir, tmp_path):
+    from open_parse_spark.spark.pipeline import parse_transcripts
+    from open_parse_spark.streaming.jobs import run_stream_to_memory, streaming_parse
+
+    stream = streaming_parse(spark, stream_dir, max_files_per_trigger=1)
+    q = run_stream_to_memory(stream, "nodes_stream")
+    q.awaitTermination(120)
+
+    got = (
+        spark.table("nodes_stream")
+        .select("conv_id", "turn_idx", "node_idx", "text")
+        .orderBy("conv_id", "turn_idx", "node_idx", "text")
+        .toPandas()
+    )
+    batch = (
+        parse_transcripts(spark.read.parquet(stream_dir), repartition_for_skew=False)
+        .select("conv_id", "turn_idx", "node_idx", "text")
+        .orderBy("conv_id", "turn_idx", "node_idx", "text")
+        .toPandas()
+    )
+    # streaming output == batch output on the same files (stateless map)
+    pd.testing.assert_frame_equal(got, batch)
+    assert len(got) > 0
+
+
+def test_streaming_events_hourly(spark, tmp_path):
+    from open_parse_spark.streaming.jobs import (
+        run_stream_to_memory,
+        streaming_events_hourly,
+    )
+
+    src = "/root/testdata/sf0.001"
+    import shutil, os
+
+    d = tmp_path / "events_in"
+    d.mkdir()
+    shutil.copy(os.path.join(src, "events.parquet"), d / "events.parquet")
+    stream = streaming_events_hourly(spark, str(d))
+    q = run_stream_to_memory(stream, "events_stream", mode="append")
+    q.awaitTermination(120)
+    got = spark.table("events_stream").toPandas()
+    # append-mode watermarked agg only emits windows the watermark has passed;
+    # with a single micro-batch the final windows stay open - assert the
+    # plumbing ran and produced a well-formed frame
+    assert set(got.columns) == {"hour", "event_type", "n", "min_value", "max_value"}
+
+
+def test_multimodal_features_spark(spark):
+    from open_parse_spark.operators.multimodal import (
+        extract_media_features,
+        sample_video_frames,
+        synthesize_media_from_documents,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    media = synthesize_media_from_documents(docs)
+    feats = extract_media_features(media).toPandas()
+    assert len(feats) == docs.count()
+    assert all(len(v) == 16 for v in feats["feature"])
+    assert (feats["n_bytes"] > 0).all()
+
+    frames = sample_video_frames(media).toPandas()
+    assert (frames["frame_ts_ms"] % 1000 == 0).all()
+    # every video contributes at least ceil(duration/1000)+1 frames
+    assert len(frames) > 0
+
+
+def test_decode_media_stub_raises_for_unknown():
+    from open_parse_spark.operators.multimodal import decode_media
+
+    with pytest.raises(NotImplementedError):
+        decode_media(b"x", "application/octet-stream")
+    assert decode_media(b"x", "image/png") == b"x"
