@@ -1,0 +1,83 @@
+"""spark-submit entry point.
+
+Usage (cluster):
+    zip -r openparse_spark.zip open_parse_spark
+    spark-submit --py-files openparse_spark.zip -m open_parse_spark.cli \\
+        parse --input <transcripts_path_or_iceberg_table> --output <dir> \\
+              --checkpoint <dir> [--n-buckets 256] [--buckets-per-wave 16]
+
+Local smoke:
+    python -m open_parse_spark.cli parse --input /root/repo/BENCH/bench_transcripts.parquet \\
+        --output /tmp/nodes --checkpoint /tmp/ckpt --n-buckets 8
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="open_parse_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pp = sub.add_parser("parse", help="resumable transcript parse")
+    pp.add_argument("--input", required=True)
+    pp.add_argument("--output", required=True)
+    pp.add_argument("--checkpoint", required=True)
+    pp.add_argument("--n-buckets", type=int, default=64)
+    pp.add_argument("--buckets-per-wave", type=int, default=8)
+    pp.add_argument("--run-id", default=None)
+    pp.add_argument("--master", default=None)
+
+    sp = sub.add_parser("stream", help="structured-streaming parse")
+    sp.add_argument("--input", required=True)
+    sp.add_argument("--output", required=True)
+    sp.add_argument("--checkpoint", required=True)
+    sp.add_argument("--master", default=None)
+
+    args = p.parse_args(argv)
+
+    from open_parse_spark.spark.session import get_spark
+
+    spark = get_spark(app_name=f"open-parse-{args.cmd}", master=args.master)
+
+    if args.cmd == "parse":
+        from open_parse_spark.spark.checkpoint import run_resumable
+
+        transcripts = spark.read.parquet(args.input)
+        res = run_resumable(
+            spark,
+            transcripts,
+            out_path=args.output,
+            checkpoint_path=args.checkpoint,
+            n_buckets=args.n_buckets,
+            buckets_per_wave=args.buckets_per_wave,
+            run_id=args.run_id or f"run-{int(time.time())}",
+        )
+        print(
+            f"processed buckets={res.processed_buckets} "
+            f"skipped(resumed)={res.skipped_buckets}"
+        )
+        return 0
+
+    if args.cmd == "stream":
+        from open_parse_spark.streaming.jobs import streaming_parse
+
+        nodes = streaming_parse(spark, args.input)
+        q = (
+            nodes.writeStream.format("parquet")
+            .option("path", args.output)
+            .option("checkpointLocation", args.checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return 0
+
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
