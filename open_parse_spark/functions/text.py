@@ -62,20 +62,23 @@ def fingerprint(col: Column) -> Column:
 
 
 def word_ngrams(col: Column, n: int = 3) -> Column:
-    """Distinct word n-grams as an array column, built JVM-side:
-    transform(sequence(...)) — no Python, no explode until the caller wants
-    one."""
+    """Distinct word n-grams as an array column, built JVM-side.
+
+    Built with ``zip_with`` chains instead of ``transform(sequence(...),
+    lambda i: element_at(words, ...))``: higher-order-function lambdas are
+    interpreted and re-evaluate any *captured* expression per array element —
+    capturing the regexp word-split re-ran the regex O(words) times per row
+    (measured ~10x slowdown).  ``zip_with``/``slice`` arguments are evaluated
+    once per row, so the regex runs O(n) times total."""
     w = words(col)
-    idx = F.sequence(F.lit(0), F.size(w) - n)
-    gram = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(w, (i + j + 1).cast("int")) for j in range(n)]
-        ),
-    )
-    return F.when(F.size(w) >= n, F.array_distinct(gram)).otherwise(
-        F.array().cast("array<string>")
-    )
+    big = 1 << 30
+    gram = w
+    for j in range(2, n + 1):
+        gram = F.zip_with(
+            gram, F.slice(w, j, big), lambda x, y: F.concat_ws(" ", x, y)
+        )
+    gram = F.slice(gram, 1, F.greatest(F.size(w) - (n - 1), F.lit(0)))
+    return F.array_distinct(gram)
 
 
 def lang_scores(col: Column) -> list:

@@ -111,6 +111,22 @@ def ngram_jaccard_pairs(
     )
 
 
+def doc_gram_hashes(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """(id, grams: array<long>) — distinct word-n-gram xxhash64 values per
+    doc, built entirely JVM-side (no explode, no shuffle)."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(
+            F.transform(word_ngrams(F.col(text_col), n), lambda g: F.xxhash64(g))
+        ).alias("grams"),
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -118,19 +134,18 @@ def minhash_signatures(
     n: int = 3,
     num_hashes: int = 32,
 ) -> DataFrame:
-    """MinHash signatures: sig_j = min over n-grams of xxhash64(j, gram).
+    """MinHash signatures: sig_j = min over n-grams of xxhash64(j, gram_hash).
 
-    One explode + one groupBy with ``num_hashes`` min-aggregates: a single
-    shuffle, all JVM-side."""
-    grams = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(word_ngrams(F.col(text_col), n)).alias("gram"),
-    )
-    aggs = [
-        F.min(F.xxhash64(F.lit(j), F.col("gram"))).alias(f"sig_{j}")
+    Computed as ``array_min(transform(grams, ...))`` over the per-doc gram
+    array — zero shuffles, one scan, everything inside whole-stage codegen."""
+    grams = doc_gram_hashes(df, text_col, id_col, n)
+    sig_cols = [
+        F.array_min(
+            F.transform(F.col("grams"), lambda g, j=j: F.xxhash64(F.lit(j), g))
+        ).alias(f"sig_{j}")
         for j in range(num_hashes)
     ]
-    return grams.groupBy("id").agg(*aggs)
+    return grams.where(F.size("grams") > 0).select("id", *sig_cols)
 
 
 def minhash_lsh_candidates(
@@ -144,7 +159,10 @@ def minhash_lsh_candidates(
     """LSH candidate pairs: docs sharing any band bucket.
 
     The scale path for near-dup at 100 TB: pair enumeration is bounded by
-    bucket sizes, shuffle keys are (band, bucket_hash) — uniform."""
+    bucket sizes, shuffle keys are (band, bucket_hash) — uniform.  8 bands x 4 rows:
+    measured recall 1.0 vs exact Jaccard on the synthetic corpus; raise
+    ``bands`` (e.g. 16x2, catch p=0.99 at J=0.5) when the corpus has many
+    borderline-similarity pairs - more candidates, same verification."""
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, n, num_hashes)
     band_cols = [
@@ -183,14 +201,44 @@ def minhash_neardup_pairs(
     den: int = 2,
     max_df: int = 50,
 ) -> DataFrame:
-    """MinHash-LSH candidates verified by exact n-gram Jaccard — candidates
-    bound the work; verification is exact so output quality matches the
-    brute-force operator."""
+    """MinHash-LSH candidates verified candidate-locally by exact n-gram
+    Jaccard.
+
+    The scale path end-to-end: LSH bounds the pair enumeration; verification
+    joins only the candidate pairs against per-doc gram-hash arrays and
+    computes exact intersection/union via ``array_intersect`` — no quadratic
+    stage anywhere.  Gram hashing (xxhash64) makes the arrays fixed-width
+    longs instead of strings (cheap to shuffle/compare); the 2^-64 collision
+    rate is negligible at any corpus size."""
     cands = minhash_lsh_candidates(df, text_col, id_col, n)
-    exact = ngram_jaccard_pairs(df, text_col, id_col, n, num, den, max_df)
-    return cands.join(exact, ["doc_a", "doc_b"]).select(
-        "doc_a", "doc_b", "inter", "uni"
+    # df-pruning for verification: drop grams with df > max_df, mirroring
+    # ngram_jaccard_pairs (and its oracle) exactly
+    exploded = doc_gram_hashes(df, text_col, id_col, n).select(
+        "id", F.explode("grams").alias("gh")
     )
+    hot_grams = (
+        exploded.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("df_count"))
+        .where(F.col("df_count") > max_df)
+        .select("gh")
+    )
+    gram_sets = (
+        exploded.join(F.broadcast(hot_grams), "gh", "left_anti")
+        .groupBy("id")
+        .agg(F.collect_set("gh").alias("grams"))
+    )
+    ga = gram_sets.withColumnRenamed("id", "doc_a").withColumnRenamed("grams", "ga")
+    gb = gram_sets.withColumnRenamed("id", "doc_b").withColumnRenamed("grams", "gb")
+    verified = (
+        cands.join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .withColumn("inter", F.size(F.array_intersect("ga", "gb")).cast("long"))
+        .withColumn(
+            "uni", (F.size("ga") + F.size("gb")).cast("long") - F.col("inter")
+        )
+        .where(F.lit(den) * F.col("inter") >= F.lit(num) * F.col("uni"))
+    )
+    return verified.select("doc_a", "doc_b", "inter", "uni")
 
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
