@@ -23,7 +23,7 @@ sys.path.insert(0, REPO)
 
 BENCH_DIR = os.path.join(REPO, "BENCH")
 BENCH_TRANSCRIPTS = os.path.join(BENCH_DIR, "bench_transcripts.parquet")
-BENCH_CONVS = int(os.environ.get("BENCH_CONVS", "4000"))
+BENCH_CONVS = int(os.environ.get("BENCH_CONVS", "2000"))
 BENCH_AVG_TURNS = int(os.environ.get("BENCH_AVG_TURNS", "50"))
 
 
@@ -197,6 +197,7 @@ def main() -> None:
         "parse_flagship",
         "dedup_exact",
         "dedup_fingerprint",
+        "neardup_jaccard",
         "dedup_minhash",
         "dedup_simhash",
         "ann_cosine_topk",
@@ -218,17 +219,16 @@ def main() -> None:
     reps = int(os.environ.get("BENCH_REPS", "2"))
     n_cores = int(os.environ.get("BENCH_N_CORES", "2"))
     n4_cores = min(cpus, 4 * n_cores)
+    s_cores, s4_cores = n4_cores, min(cpus, 4 * n4_cores)
+    # three core levels measured once each; both N->4N pairs share the middle
     turns, sec_n, steal_n = _run_parse(n_cores, reps)
-    tps_n = turns / sec_n
     turns, sec_4n, steal_4n = _run_parse(n4_cores, reps)
-    tps_4n = turns / sec_4n
+    turns, sec_s4, steal_s4 = _run_parse(s4_cores, reps)
+    tps_n, tps_4n = turns / sec_n, turns / sec_4n
     efficiency = (tps_4n / tps_n) / (n4_cores / n_cores)
     query_secs["parse_scaling_N"] = round(sec_n, 3)
     query_secs["parse_scaling_4N"] = round(sec_4n, 3)
-
-    s_cores, s4_cores = 8, min(cpus, 32)
-    turns, sec_s, steal_s = _run_parse(s_cores, reps)
-    turns, sec_s4, steal_s4 = _run_parse(s4_cores, reps)
+    sec_s, steal_s = sec_4n, steal_4n
     tps_s, tps_s4 = turns / sec_s, turns / sec_s4
     eff_sec = (tps_s4 / tps_s) / (s4_cores / s_cores)
 
