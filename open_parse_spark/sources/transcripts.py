@@ -29,7 +29,11 @@ TRANSCRIPT_COLUMNS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
 
 def iceberg_available(spark: SparkSession) -> bool:
     try:
-        spark._jvm.org.apache.iceberg.catalog.Catalog  # type: ignore[attr-defined]
+        # Class.forName throws if the Iceberg runtime jar is absent
+        # (plain attribute access on _jvm returns lazy JavaPackage objects)
+        spark._jvm.java.lang.Class.forName(  # type: ignore[attr-defined]
+            "org.apache.iceberg.catalog.Catalog"
+        )
         return True
     except Exception:
         return False
