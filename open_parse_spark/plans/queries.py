@@ -275,6 +275,134 @@ FROM documents
 """
 
 
+def q_op_full_page_stubs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 RemoveFullPageStubs analog (basic_transforms.py:174-201): keep rows
+    whose derived area ratio is under 35% of the page OR that are not stubs.
+    Box geometry derived deterministically from integer columns."""
+    docs = _tbl(spark, sf_dir, "documents")
+    w = (F.col("doc_id") * 13) % 500 + 20
+    h = (F.col("doc_id") * 7) % 600 + 20
+    area = w * h
+    page_area = F.lit(612 * 792)
+    return docs.where(
+        (area * 100 < page_area * 35) | (F.col("n_chars") > 200)
+    ).select("doc_id")
+
+
+SQL_OP_FULL_PAGE_STUBS = """
+SELECT doc_id FROM documents
+WHERE (((doc_id * 13) % 500 + 20) * ((doc_id * 7) % 600 + 20)) * 100
+        < (612 * 792) * 35
+   OR n_chars > 200
+"""
+
+
+def q_op_remove_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 RemoveMetadataElements analog (basic_transforms.py:204-232): keep
+    rows whose derived y-band lies within [10%, 90%] of the page height OR
+    that are not stubs."""
+    docs = _tbl(spark, sf_dir, "documents")
+    y0 = (F.col("doc_id") * 37) % 792
+    y1 = y0 + 12
+    h = F.lit(792)
+    within = (y0 * 10 >= h) & (y1 * 10 <= h * 9)
+    return docs.where(within | (F.col("n_chars") > 200)).select("doc_id")
+
+
+SQL_OP_REMOVE_METADATA = """
+SELECT doc_id FROM documents
+WHERE (((doc_id * 37) % 792) * 10 >= 792
+       AND (((doc_id * 37) % 792) + 12) * 10 <= 792 * 9)
+   OR n_chars > 200
+"""
+
+
+def q_op_lead_neighbor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5/P6 neighbor-merge analog (basic_transforms.py:330-377) as a window
+    lead over reading order: each doc paired with the next doc in its source
+    group; the merge predicate (stub followed by non-stub) flagged."""
+    from pyspark.sql.window import Window
+
+    docs = _tbl(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    return docs.select(
+        "doc_id",
+        "source",
+        F.lead("doc_id").over(w).alias("next_doc_id"),
+        F.coalesce(
+            (F.col("n_chars") < 100) & (F.lead("n_chars").over(w) >= 100),
+            F.lit(False),
+        ).alias("would_merge"),
+    )
+
+
+SQL_OP_LEAD_NEIGHBOR = """
+SELECT doc_id, source,
+       lead(doc_id) OVER w AS next_doc_id,
+       coalesce(n_chars < 100 AND lead(n_chars) OVER w >= 100, false) AS would_merge
+FROM documents
+WINDOW w AS (PARTITION BY source ORDER BY n_chars DESC, doc_id)
+"""
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) per user — the classic
+    stateful-streaming analog expressed as lag + cumulative sum windows
+    (identical formulation in the oracle so hashes match)."""
+    from pyspark.sql.window import Window
+
+    ev = _tbl(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # parquet NTZ timestamps: epoch seconds via to_unix_timestamp of the
+    # NTZ value rendered in UTC (session tz is UTC) — matches DuckDB epoch()
+    epoch = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    with_gap = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        (
+            F.coalesce(
+                (epoch - F.lag(epoch).over(w)) > 1800,
+                F.lit(True),
+            )
+        ).cast("int").alias("new_session"),
+    )
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sess = with_gap.withColumn("session_no", F.sum("new_session").over(w2))
+    return sess.groupBy("user_id", "session_no").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+    )
+
+
+SQL_EVENTS_SESSIONIZE = """
+WITH g AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w > 1800 THEN 1
+              WHEN lag(ts) OVER w IS NULL THEN 1
+              ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_no
+  FROM g
+)
+SELECT user_id, session_no,
+       count(*) AS n_events,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start
+FROM s GROUP BY user_id, session_no
+"""
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.exact_duplicates(_tbl(spark, sf_dir, "documents"))
 
@@ -496,6 +624,10 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "op_remove_below_tokens": (q_op_remove_below_tokens, SQL_OP_REMOVE_BELOW_TOKENS),
     "op_spatial_anti_join": (q_op_spatial_anti_join, SQL_OP_SPATIAL_ANTI_JOIN),
     "op_reading_order": (q_op_reading_order, SQL_OP_READING_ORDER),
+    "op_full_page_stubs": (q_op_full_page_stubs, SQL_OP_FULL_PAGE_STUBS),
+    "op_remove_metadata": (q_op_remove_metadata, SQL_OP_REMOVE_METADATA),
+    "op_lead_neighbor": (q_op_lead_neighbor, SQL_OP_LEAD_NEIGHBOR),
+    "events_sessionize": (q_events_sessionize, SQL_EVENTS_SESSIONIZE),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_fingerprint": (q_dedup_fingerprint, SQL_DEDUP_FINGERPRINT),
     "neardup_jaccard": (q_neardup_jaccard, SQL_NEARDUP_JACCARD),
