@@ -240,6 +240,7 @@ def parse_transcripts(
         pruned = salted.repartition(planned, "_salt").drop("_salt")
     elif repartition_for_skew == "auto":
         n_splits = pruned.rdd.getNumPartitions()
+        total_bytes = 0
         if n_splits < parallelism:
             # re-split the scan from file-size metadata (no data scan):
             # target ~3 waves per core, >=1 MiB splits
@@ -256,7 +257,9 @@ def parse_transcripts(
                     "spark.sql.files.maxPartitionBytes", str(split_bytes)
                 )
                 n_splits = pruned.rdd.getNumPartitions()
-        if n_splits < parallelism:
+        # a file-backed source is already size-balanced by byte-ranged
+        # splits; shuffle only non-file sources that stay under-split
+        if n_splits < parallelism and total_bytes == 0:
             # non-file source that cannot be re-split: salted shuffle on a
             # payload-size-histogram partition plan
             planned = num_partitions
