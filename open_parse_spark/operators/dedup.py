@@ -241,6 +241,76 @@ def minhash_neardup_pairs(
     return verified.select("doc_a", "doc_b", "inter", "uni")
 
 
+def connected_components(
+    pairs: DataFrame, max_iters: int = 20
+) -> DataFrame:
+    """Duplicate-cluster assignment from near-dup pairs: (id, component)
+    where component = min doc id reachable through the pair graph.
+
+    Alternating min-label propagation over the edge list (the standard
+    large-scale CC formulation — each iteration is one groupBy shuffle on
+    uniform ids; converges in O(log n) iterations for near-dup graphs, which
+    are unions of small cliques, typically 1-3).  Driver only checks a
+    convergence count per iteration — no per-row collect."""
+    edges = (
+        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .union(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges["b"] == labels["id"])
+            .groupBy("a")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["id"] == neighbor_min["a"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("nbr_component"), F.col("component")),
+                ).alias("component"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels.localCheckpoint(eager=True)  # truncate lineage
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), "component")
+
+
+def dedup_keep_list(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Final dedup decision: every doc keeps=false iff it is in a near-dup
+    component and is not the component's min id."""
+    comps = connected_components(pairs)
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(comps, "doc_id", "left")
+        .select(
+            "doc_id",
+            (
+                F.col("component").isNull()
+                | (F.col("component") == F.col("doc_id"))
+            ).alias("keep"),
+        )
+    )
+
+
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """64-bit SimHash over words: bit_i = sign(sum over words of
     (+1 if xxhash64(word) bit_i else -1)).  All bit ops JVM-side."""

@@ -605,6 +605,57 @@ GROUP BY 1, 2
 """
 
 
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: connected components over exact-Jaccard pairs
+    (min-label propagation, O(log n) shuffles)."""
+    docs = _tbl(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs)
+    return D.connected_components(pairs)
+
+
+def q_training_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus cleaning: keep docs that are (a) the
+    canonical copy under exact dedup, (b) above the token floor, (c)
+    predicted English — the composed filter chain a data pipeline runs
+    before tokenization.  Fully SQL-checkable."""
+    from pyspark.sql.window import Window
+
+    docs = _tbl(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5(F.col("text")))
+    return (
+        docs.withColumn("canonical", F.min("doc_id").over(w))
+        .where(F.col("doc_id") == F.col("canonical"))
+        .where(T.token_count(F.col("text")) > 50)
+        .where(T.predict_lang(F.col("text")) == "en")
+        .select("doc_id")
+    )
+
+
+_LANG_SCORE_SQL = "\nUNION ALL\n".join(
+    f"  SELECT doc_id, '{lang}' AS lang, "
+    f"len(regexp_extract_all(lower(text), '{pat}'))::BIGINT AS score FROM documents"
+    for lang, pat in sorted(_STOP_SQL.items())
+)
+
+SQL_TRAINING_CORPUS_CLEAN = f"""
+WITH scores AS (
+{_LANG_SCORE_SQL}
+), pred AS (
+  SELECT doc_id, lang AS pred_lang FROM (
+    SELECT doc_id, lang,
+           row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS rn
+    FROM scores) t WHERE rn = 1
+), canon AS (
+  SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS canonical,
+         len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_tokens
+  FROM documents
+)
+SELECT c.doc_id
+FROM canon c JOIN pred p USING (doc_id)
+WHERE c.doc_id = c.canonical AND c.n_tokens > 50 AND p.pred_lang = 'en'
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -619,6 +670,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "parse_semantic": (q_parse_semantic, None),
     "export_relations": (q_export_relations, None),
     "multimodal_features": (q_multimodal_features, None),
+    "dedup_components": (q_dedup_components, None),
     # SQL-checked
     "op_remove_repeated": (q_op_remove_repeated, SQL_OP_REMOVE_REPEATED),
     "op_remove_below_tokens": (q_op_remove_below_tokens, SQL_OP_REMOVE_BELOW_TOKENS),
@@ -637,6 +689,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
     "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
     "multimodal_frames": (q_multimodal_frames, SQL_MULTIMODAL_FRAMES),
+    "training_corpus_clean": (q_training_corpus_clean, SQL_TRAINING_CORPUS_CLEAN),
 }
 
 
