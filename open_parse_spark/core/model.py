@@ -467,5 +467,37 @@ class Node:
         return self.reading_order < other.reading_order
 
     def __add__(self, other: "Node") -> "Node":
-        """Reference: schemas.py:669-678 — element tuple concatenation."""
-        return Node(elements=self.elements + other.elements)
+        """Reference: schemas.py:669-678 — element tuple concatenation.
+
+        Merged-node derived state is pre-seeded from the parents' cached
+        values where algebraically exact (tokens are additive, variants
+        union, reading order is an elementwise min/max fold, per-page bboxes
+        union in first-seen element order) — the greedy combine transforms
+        create O(n) merged nodes per turn and re-deriving from scratch was
+        the profile's top cost.  ``test_node_merge_preseed_differential``
+        asserts preseeded == fresh for randomized merges."""
+        merged = Node(elements=self.elements + other.elements)
+        cache = merged.__dict__
+        cache["tokens"] = self.tokens + other.tokens
+        cache["variant"] = self.variant | other.variant
+        a, b = self.reading_order, other.reading_order
+        cache["reading_order"] = (
+            min(a[0], b[0]),
+            max(a[1], b[1]),
+            min(a[2], b[2]),
+        )
+        # per-page union, first-seen page order: self's pages in order, then
+        # other's new pages in order (reference iterates elements in order)
+        by_page = {}
+        for bb in self.bbox:
+            by_page[bb.page] = bb
+        for bb in other.bbox:
+            if bb.page in by_page:
+                by_page[bb.page] = by_page[bb.page].combine(bb)
+            else:
+                by_page[bb.page] = bb
+        cache["bbox"] = list(by_page.values())
+        cache["num_pages"] = len(by_page)
+        cache["start_page"] = min(self.start_page, other.start_page)
+        cache["end_page"] = max(self.end_page, other.end_page)
+        return merged

@@ -193,9 +193,10 @@ def combine_nodes_spatially(
                     )
                     and criteria_bool
                 ):
-                    combined_nodes[i] = Node(
-                        elements=target_node.elements + current_node.elements
-                    )
+                    # Node.__add__ == Node(target.elements + current.elements)
+                    # (reference basic_transforms.py:319-320) with derived
+                    # state pre-seeded from the parents' caches
+                    combined_nodes[i] = target_node + current_node
                     combined = True
                     break
             if not combined:
