@@ -60,6 +60,23 @@ def node_to_record(node: Node, node_idx: int) -> Dict[str, Any]:
             }
             for b in node.bbox
         ],
+        "elements": [
+            {
+                "variant": e.variant,
+                "text": e.text,
+                "bbox": {
+                    "page": e.bbox.page,
+                    "page_height": e.bbox.page_height,
+                    "page_width": e.bbox.page_width,
+                    "x0": e.bbox.x0,
+                    "y0": e.bbox.y0,
+                    "x1": e.bbox.x1,
+                    "y1": e.bbox.y1,
+                },
+                "image_mimetype": getattr(e, "image_mimetype", None),
+            }
+            for e in node.elements
+        ],
     }
 
 

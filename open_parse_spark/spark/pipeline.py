@@ -56,6 +56,15 @@ BBOX_TYPE = StructType(
     ]
 )
 
+ELEMENT_TYPE = StructType(
+    [
+        StructField("variant", StringType()),
+        StructField("text", StringType()),
+        StructField("bbox", BBOX_TYPE),
+        StructField("image_mimetype", StringType()),
+    ]
+)
+
 NODE_SCHEMA = StructType(
     [
         StructField("conv_id", StringType(), False),
@@ -68,6 +77,7 @@ NODE_SCHEMA = StructType(
         StructField("start_page", IntegerType(), True),
         StructField("end_page", IntegerType(), True),
         StructField("bbox", ArrayType(BBOX_TYPE), True),
+        StructField("elements", ArrayType(ELEMENT_TYPE), True),
         StructField("parse_error", StringType(), True),
     ]
 )
@@ -105,6 +115,7 @@ def _parse_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 out["start_page"].append(0)
                 out["end_page"].append(0)
                 out["bbox"].append([])
+                out["elements"].append([])
                 out["parse_error"].append(f"{type(exc).__name__}: {exc}"[:500])
                 continue
             for rec in records:
@@ -129,6 +140,25 @@ def _parse_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                             b["y1"],
                         )
                         for b in rec["bbox"]
+                    ]
+                )
+                out["elements"].append(
+                    [
+                        (
+                            e["variant"],
+                            e["text"],
+                            (
+                                e["bbox"]["page"],
+                                e["bbox"]["page_height"],
+                                e["bbox"]["page_width"],
+                                e["bbox"]["x0"],
+                                e["bbox"]["y0"],
+                                e["bbox"]["x1"],
+                                e["bbox"]["y1"],
+                            ),
+                            e["image_mimetype"],
+                        )
+                        for e in rec["elements"]
                     ]
                 )
                 out["parse_error"].append(None)
