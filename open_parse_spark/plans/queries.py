@@ -355,16 +355,17 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _tbl(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    # parquet NTZ timestamps: epoch seconds via to_unix_timestamp of the
-    # NTZ value rendered in UTC (session tz is UTC) — matches DuckDB epoch()
-    epoch = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    # ts is TIMESTAMP_NTZ (parquet isAdjustedToUTC=false): use interval
+    # arithmetic for the gap — timezone-independent, so the result cannot
+    # depend on whatever session timezone the caller's SparkSession has
+    gap = F.col("ts") - F.lag("ts").over(w)
     with_gap = ev.select(
         "user_id",
         "ts",
         "event_id",
         (
             F.coalesce(
-                (epoch - F.lag(epoch).over(w)) > 1800,
+                gap > F.expr("INTERVAL 1800 SECONDS"),
                 F.lit(True),
             )
         ).cast("int").alias("new_session"),
