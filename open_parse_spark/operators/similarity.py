@@ -14,6 +14,7 @@
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
 
 
 def _as_double(col: Column) -> Column:
@@ -92,13 +93,174 @@ def hyperplane(plane: int, dim: int) -> Column:
     )
 
 
-def lsh_bucket(vec: Column, num_planes: int, dim: int) -> Column:
-    """Sign-pattern bucket id over ``num_planes`` deterministic hyperplanes."""
+def lsh_bucket(
+    vec: Column, num_planes: int, dim: int, plane_offset: int = 0
+) -> Column:
+    """Sign-pattern bucket id over ``num_planes`` deterministic hyperplanes
+    (``plane_offset`` selects an independent plane set per LSH table)."""
     bucket = F.lit(0).cast("long")
-    for p in range(num_planes):
+    for p in range(plane_offset, plane_offset + num_planes):
         bit = F.when(dot(vec, hyperplane(p, dim)) >= 0, F.lit(1)).otherwise(F.lit(0))
         bucket = bucket * 2 + bit
     return bucket
+
+
+def kmeans_centroids(
+    embeddings: DataFrame,
+    k: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic Lloyd iterations for the IVF coarse quantizer.
+
+    Init = the k rows with smallest xxhash64(id) (seedless determinism: same
+    table -> same centroids on any cluster).  Each iteration: one broadcast
+    of k centroids + one groupBy(assignment) shuffle of dim-width partial
+    sums — no iteration ever shuffles the corpus vectors themselves more
+    than once.  Returns (centroid_id, centroid: array<double>)."""
+    c = embeddings.select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
+    )
+    init = (
+        c.withColumn("h", F.xxhash64("id"))
+        .orderBy("h")
+        .limit(k)
+        .select(
+            F.row_number().over(Window.orderBy("h")).alias("centroid_id"),
+            F.col("v").alias("centroid"),
+        )
+    )
+    centroids = init
+    for _ in range(iters):
+        assigned = _assign_to_centroids(c, centroids)
+        centroids = (
+            assigned.groupBy("centroid_id")
+            .agg(
+                F.array(
+                    *[
+                        F.avg(F.element_at("v", i + 1)).alias(f"d{i}")
+                        for i in range(_dim_of(embeddings, vec_col))
+                    ]
+                ).alias("centroid")
+            )
+        )
+    return centroids
+
+
+def _dim_of(embeddings: DataFrame, vec_col: str) -> int:
+    from pyspark.sql.types import ArrayType
+
+    f = embeddings.schema[vec_col]
+    if isinstance(f.dataType, ArrayType):
+        row = embeddings.select(F.size(vec_col).alias("n")).first()
+        return int(row["n"])
+    raise ValueError(f"{vec_col} is not an array column")
+
+
+def _assign_to_centroids(c: DataFrame, centroids: DataFrame) -> DataFrame:
+    """argmin centroid by squared L2, via broadcast + min_by (single pass)."""
+    joined = c.crossJoin(F.broadcast(centroids))
+    dist = F.aggregate(
+        F.zip_with(F.col("v"), F.col("centroid"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = joined.select("id", "v", "centroid_id", dist.alias("dist"))
+    return scored.groupBy("id").agg(
+        F.min_by("centroid_id", "dist").alias("centroid_id"),
+        F.first("v").alias("v"),
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: corpus assigned to coarse centroids once; each
+    query probes only its ``n_probe`` nearest centroid buckets.
+
+    At 100 TB the assignment is a write-time column (cluster-by), making
+    query-time work bucket-pruned scans."""
+    from pyspark.sql.window import Window
+
+    centroids = kmeans_centroids(embeddings, k=n_centroids, id_col=id_col, vec_col=vec_col)
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
+    )
+    corpus_assigned = _assign_to_centroids(
+        c.withColumnRenamed("neighbor_id", "id").withColumnRenamed("cv", "v"),
+        centroids,
+    ).select(
+        F.col("id").alias("neighbor_id"),
+        F.col("v").alias("cv"),
+        "centroid_id",
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    )
+    qd = q.crossJoin(F.broadcast(centroids))
+    qdist = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("centroid"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("qdist"), F.col("centroid_id"))
+    probes = (
+        qd.select("query_id", "qv", "centroid_id", qdist.alias("qdist"))
+        .withColumn("pr", F.row_number().over(wq))
+        .where(F.col("pr") <= n_probe)
+        .select("query_id", "qv", "centroid_id")
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(corpus_assigned, "centroid_id")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("sim")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.round("sim", 4).alias("sim4"),
+        )
+    )
+
+
+def ann_recall(approx: DataFrame, exact: DataFrame, k: int = 5) -> DataFrame:
+    """recall@k of an approximate ANN result against the brute-force truth:
+    (query_id, hits, recall_pct as integer percent — oracle-friendly)."""
+    hits = (
+        exact.where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id")
+        .join(
+            approx.where(F.col("rank") <= k).select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+        )
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    base = exact.where(F.col("rank") <= k).groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("total")
+    )
+    return base.join(hits, "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("hits"), F.lit(0)).alias("hits"),
+        (F.coalesce(F.col("hits"), F.lit(0)) * 100 / F.col("total"))
+        .cast("long")
+        .alias("recall_pct"),
+    )
 
 
 def lsh_topk(
@@ -106,27 +268,54 @@ def lsh_topk(
     queries: DataFrame,
     k: int = 5,
     num_planes: int = 4,
+    num_tables: int = 8,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: compare only within the query's hyperplane bucket.
+    """Approximate top-k via multi-table hyperplane LSH: a candidate matches
+    if it shares a bucket in ANY of ``num_tables`` independent plane sets
+    (the standard recall amplifier: p_hit = 1-(1-p^h)^L).
 
-    At scale the corpus is bucketed once (write-time or cached); per-query
-    work is bucket-local.  Recall trades off with num_planes."""
+    At scale the corpus's L bucket ids are write-time columns; per-query work
+    is the union of L bucket-local scans.  Recall/cost trades off with
+    (num_planes, num_tables)."""
     from pyspark.sql.window import Window
 
-    c = embeddings.select(
-        F.col(id_col).alias("neighbor_id"),
-        _as_double(F.col(vec_col)).alias("cv"),
-    ).withColumn("bucket", lsh_bucket(F.col("cv"), num_planes, dim))
-    q = queries.select(
-        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
-    ).withColumn("bucket", lsh_bucket(F.col("qv"), num_planes, dim))
+    def buckets(vec: Column) -> Column:
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("table"),
+                    lsh_bucket(vec, num_planes, dim, plane_offset=t * num_planes).alias(
+                        "bucket"
+                    ),
+                )
+                for t in range(num_tables)
+            ]
+        )
+
+    c = (
+        embeddings.select(
+            F.col(id_col).alias("neighbor_id"),
+            _as_double(F.col(vec_col)).alias("cv"),
+        )
+        .withColumn("tb", F.explode(buckets(F.col("cv"))))
+        .select("neighbor_id", "cv", "tb.table", "tb.bucket")
+    )
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+        )
+        .withColumn("tb", F.explode(buckets(F.col("qv"))))
+        .select("query_id", "qv", "tb.table", "tb.bucket")
+    )
     scored = (
         F.broadcast(q)
-        .join(c, "bucket")
+        .join(c, ["table", "bucket"])
         .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "qv", "cv")
+        .dropDuplicates(["query_id", "neighbor_id"])
         .select(
             "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("sim")
         )

@@ -99,6 +99,27 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_topk(emb, emb.where(F.col("vec_id") < 10), k=5)
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k (coarse k-means quantizer + bucket probing)."""
+    emb = _tbl(spark, sf_dir, "embeddings")
+    return S.ivf_topk(emb, emb.where(F.col("vec_id") < 10), k=5)
+
+
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@5 of the LSH and IVF paths vs brute force, per query — the
+    pipeline evaluates its own approximations."""
+    emb = _tbl(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 10)
+    exact = S.brute_force_topk(emb, queries_df, k=5)
+    lsh = S.ann_recall(S.lsh_topk(emb, queries_df, k=5), exact).select(
+        "query_id", F.lit("lsh").alias("method"), "recall_pct"
+    )
+    ivf = S.ann_recall(S.ivf_topk(emb, queries_df, k=5), exact).select(
+        "query_id", F.lit("ivf").alias("method"), "recall_pct"
+    )
+    return lsh.union(ivf)
+
+
 def q_parse_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemanticIngestionPipeline variant (P11, reference ingest.py:95-136)
     with the deterministic hashing-embedding client."""
@@ -668,6 +689,8 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "dedup_minhash": (q_dedup_minhash, None),
     "dedup_simhash": (q_dedup_simhash, None),
     "ann_lsh": (q_ann_lsh, None),
+    "ann_ivf": (q_ann_ivf, None),
+    "ann_recall": (q_ann_recall, None),
     "parse_semantic": (q_parse_semantic, None),
     "export_relations": (q_export_relations, None),
     "multimodal_features": (q_multimodal_features, None),
