@@ -283,10 +283,15 @@ def parse_transcripts(
                         total_bytes // (3 * parallelism) or 1 << 20,
                     ),
                 )
-                spark.conf.set(
-                    "spark.sql.files.maxPartitionBytes", str(split_bytes)
-                )
-                n_splits = pruned.rdd.getNumPartitions()
+                # session-level conf (it must still be set at execution
+                # time); only lower it when the input is big enough that
+                # re-splitting matters — a tiny input must not leave a
+                # tiny-split setting behind for later queries
+                if total_bytes >= 8 * (1 << 20):
+                    spark.conf.set(
+                        "spark.sql.files.maxPartitionBytes", str(split_bytes)
+                    )
+                    n_splits = pruned.rdd.getNumPartitions()
         # a file-backed source is already size-balanced by byte-ranged
         # splits; shuffle only non-file sources that stay under-split
         if n_splits < parallelism and total_bytes == 0:
