@@ -678,6 +678,85 @@ WHERE c.doc_id = c.canonical AND c.n_tokens > 50 AND p.pred_lang = 'en'
 """
 
 
+def q_conversation_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-granularity document assembly from parsed nodes."""
+    from open_parse_spark.operators.conversations import conversation_assembly
+
+    transcripts = documents_as_transcripts(_tbl(spark, sf_dir, "documents"))
+    nodes = parse_transcripts(transcripts, repartition_for_skew=False)
+    return conversation_assembly(nodes)
+
+
+# SQL-checked conversation ops over the deterministic documents->transcripts
+# derivation (conv_id = 'conv-' || lpad(doc_id % 64), turn_idx = doc_id/64)
+
+_CONV_SQL_BASE = """
+  SELECT 'conv-' || lpad((doc_id % 64)::VARCHAR, 6, '0') AS conv_id,
+         (doc_id // 64)::INT AS turn_idx,
+         CASE ((doc_id // 64) % 3) WHEN 0 THEN 'user'
+                                   WHEN 1 THEN 'assistant'
+                                   ELSE 'tool' END AS role,
+         text
+  FROM documents
+"""
+
+
+def q_conv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from open_parse_spark.operators.conversations import conversation_stats
+
+    transcripts = documents_as_transcripts(_tbl(spark, sf_dir, "documents"))
+    return conversation_stats(transcripts).select(
+        "conv_id",
+        "n_turns",
+        "total_chars",
+        "max_turn_chars",
+        "n_roles",
+        F.col("first_turn").cast("long").alias("first_turn"),
+        F.col("last_turn").cast("long").alias("last_turn"),
+    )
+
+
+SQL_CONV_STATS = f"""
+WITH t AS (
+{_CONV_SQL_BASE}
+)
+SELECT conv_id,
+       count(*) AS n_turns,
+       sum(length(text)) AS total_chars,
+       max(length(text)) AS max_turn_chars,
+       count(DISTINCT role) AS n_roles,
+       min(turn_idx)::BIGINT AS first_turn,
+       max(turn_idx)::BIGINT AS last_turn
+FROM t GROUP BY conv_id
+"""
+
+
+def q_conv_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from open_parse_spark.operators.conversations import turn_context_windows
+
+    transcripts = documents_as_transcripts(_tbl(spark, sf_dir, "documents"))
+    return turn_context_windows(transcripts, context_turns=3).select(
+        "conv_id",
+        F.col("turn_idx").cast("long").alias("turn_idx"),
+        "role",
+        "context_n_turns",
+        "context_chars",
+    )
+
+
+SQL_CONV_CONTEXT = f"""
+WITH t AS (
+{_CONV_SQL_BASE}
+)
+SELECT conv_id, turn_idx::BIGINT AS turn_idx, role,
+       count(*) OVER w AS context_n_turns,
+       sum(length(text)) OVER w AS context_chars
+FROM t
+WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -695,6 +774,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "export_relations": (q_export_relations, None),
     "multimodal_features": (q_multimodal_features, None),
     "dedup_components": (q_dedup_components, None),
+    "conversation_assembly": (q_conversation_assembly, None),
     # SQL-checked
     "op_remove_repeated": (q_op_remove_repeated, SQL_OP_REMOVE_REPEATED),
     "op_remove_below_tokens": (q_op_remove_below_tokens, SQL_OP_REMOVE_BELOW_TOKENS),
@@ -714,6 +794,8 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
     "multimodal_frames": (q_multimodal_frames, SQL_MULTIMODAL_FRAMES),
     "training_corpus_clean": (q_training_corpus_clean, SQL_TRAINING_CORPUS_CLEAN),
+    "conv_stats": (q_conv_stats, SQL_CONV_STATS),
+    "conv_context": (q_conv_context, SQL_CONV_CONTEXT),
 }
 
 
