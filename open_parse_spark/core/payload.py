@@ -171,6 +171,26 @@ def _decode_page_elements(page_obj: Dict[str, Any]) -> List[Element]:
     return out
 
 
+def _fast_prose_line(bbox, line_text: str) -> LineElement:
+    """Construct a single-regular-span line without redundant work.
+
+    Semantically identical to ``LineElement(bbox, (TextSpan(line_text, F, F,
+    11.0),))``: prose coordinates are exact multiples of 0.5 (rounding to 2dp
+    is the identity), an unstyled span's formatted_text is its text, and the
+    markdown cleanup is applied iff the text contains ``*``/``_`` (the same
+    fast path ``clean_markdown_formatting`` takes).  Guarded by the frozen
+    golden (tests/test_golden_freeze.py) and the prose property tests."""
+    from open_parse_spark.core.model import clean_markdown_formatting
+
+    line = LineElement.__new__(LineElement)
+    line.bbox = bbox
+    line.spans = (
+        TextSpan(text=line_text, is_bold=False, is_italic=False, size=11.0),
+    )
+    line._text = clean_markdown_formatting(line_text)
+    return line
+
+
 def _prose_to_elements(text: str) -> List[Element]:
     """Deterministic layout of plain prose onto synthetic pages.
 
@@ -201,17 +221,7 @@ def _prose_to_elements(text: str) -> List[Element]:
             ly0 = ly1 - (_PROSE_LINE_HEIGHT - 2.0)
             lx1 = _PROSE_MARGIN_X + max(1.0, _PROSE_CHAR_WIDTH * len(line_text))
             lines.append(
-                LineElement(
-                    bbox=(_PROSE_MARGIN_X, ly0, lx1, ly1),
-                    spans=(
-                        TextSpan(
-                            text=line_text,
-                            is_bold=False,
-                            is_italic=False,
-                            size=11.0,
-                        ),
-                    ),
-                )
+                _fast_prose_line((_PROSE_MARGIN_X, ly0, lx1, ly1), line_text)
             )
         x0, y0, x1, ey1 = get_lines_bbox(lines)
         elements.append(
