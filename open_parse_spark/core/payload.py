@@ -207,10 +207,14 @@ def _prose_to_elements(text: str) -> List[Element]:
             continue
         raw_lines: List[str] = []
         for src_line in para.split("\n"):
-            while len(src_line) > 78:
-                raw_lines.append(src_line[:78])
-                src_line = src_line[78:]
-            raw_lines.append(src_line)
+            if len(src_line) <= 78:
+                raw_lines.append(src_line)
+            else:
+                # index-based chunking: re-slicing the shrinking remainder
+                # is O(n^2) bytes copied and took minutes on 10 MB turns
+                raw_lines.extend(
+                    src_line[s : s + 78] for s in range(0, len(src_line), 78)
+                )
         needed = len(raw_lines) * _PROSE_LINE_HEIGHT
         if y1 - needed < _PROSE_MIN_Y:
             page += 1
