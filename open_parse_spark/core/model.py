@@ -25,7 +25,7 @@ Equality-critical details preserved (see SURVEY.md §4.3):
 from __future__ import annotations
 
 import re
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from functools import cached_property
 from typing import Dict, List, Optional, Sequence, Tuple
 

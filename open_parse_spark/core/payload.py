@@ -17,7 +17,7 @@ Decoding mirrors the reference's extraction stages:
 from __future__ import annotations
 
 import json
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict, List, Optional
 
 from open_parse_spark.core.model import (
     Bbox,

@@ -20,8 +20,6 @@ quadratic blowup of stop-grams.
 
 from __future__ import annotations
 
-from typing import List
-
 from pyspark.sql import DataFrame, functions as F
 
 from open_parse_spark.functions.text import fingerprint, word_ngrams, words
