@@ -169,6 +169,33 @@ def _table_turn(rng: np.random.RandomState) -> tuple:
     return text_payload, tool_payload
 
 
+def _image_turn(rng: np.random.RandomState) -> str:
+    """Image slices + caption text on one page (exercises P2
+    CombineSlicedImages distributed)."""
+    import base64
+
+    n_slices = rng.randint(2, 4)
+    elements = []
+    y = 600.0
+    for s in range(n_slices):
+        payload = base64.b64encode(
+            bytes(rng.randint(0, 256, size=64, dtype=np.uint8))
+        ).decode()
+        elements.append(
+            {
+                "kind": "image",
+                "bbox": [100.0, y - 80.0, 400.0, y],
+                "image": payload,
+                "image_mimetype": "image/png",
+            }
+        )
+        y -= 80.0
+    elements.append(
+        {"kind": "text", "lines": [_line(y - 20.0, _prose(rng, 30))]}
+    )
+    return _payload([_page(elements)])
+
+
 def _multipage_turn(rng: np.random.RandomState) -> str:
     """F7: elements across two pages; reading order + per-page bbox union."""
     pages = []
@@ -237,6 +264,8 @@ def gen_transcripts(
                 text, tool = _table_turn(conv_rng)
             elif kind == 4:
                 text = _multipage_turn(conv_rng)
+            elif kind == 5:
+                text = _image_turn(conv_rng)
             else:
                 text = _prose_turn(conv_rng, scale)
             rows.append(
