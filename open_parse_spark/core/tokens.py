@@ -53,16 +53,29 @@ _PRETOKEN_RE = re.compile(
 _findall = _PRETOKEN_RE.findall
 
 
+_CACHE_MAX_LEN = 10_000  # don't pin megabyte payload strings in the cache
+
+
 @lru_cache(maxsize=65536)
-def num_tokens(string: Optional[str]) -> int:
-    """Deterministic token count; mirrors reference ``utils.num_tokens``
-    (``/root/reference/src/openparse/utils.py:6-10``) with a pure-regex
-    fallback when tiktoken is unavailable."""
-    if not string:
-        return 0
+def _num_tokens_cached(string: str) -> int:
     if _ENCODER is not None:  # pragma: no cover
         return len(_ENCODER.encode(string))
     return len(_findall(string))
+
+
+def num_tokens(string: Optional[str]) -> int:
+    """Deterministic token count; mirrors reference ``utils.num_tokens``
+    (``/root/reference/src/openparse/utils.py:6-10``) with a pure-regex
+    fallback when tiktoken is unavailable.  Short strings are memoized
+    (node texts repeat across pipeline steps); long strings are counted
+    directly so the per-worker cache never pins large payloads."""
+    if not string:
+        return 0
+    if len(string) > _CACHE_MAX_LEN:
+        if _ENCODER is not None:  # pragma: no cover
+            return len(_ENCODER.encode(string))
+        return len(_findall(string))
+    return _num_tokens_cached(string)
 
 
 def num_tokens_batch(strings: Iterable[Optional[str]]) -> List[int]:
