@@ -678,6 +678,24 @@ WHERE c.doc_id = c.canonical AND c.n_tokens > 50 AND p.pred_lang = 'en'
 """
 
 
+def q_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus extraction-quality summary (K3 replacement: metrics instead of
+    bbox-annotated PDFs)."""
+    from open_parse_spark.plans.evals import extraction_metrics
+
+    transcripts = documents_as_transcripts(_tbl(spark, sf_dir, "documents"))
+    nodes = parse_transcripts(transcripts, repartition_for_skew=False)
+    return extraction_metrics(nodes)
+
+
+def q_eval_variant_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from open_parse_spark.plans.evals import variant_mix
+
+    transcripts = documents_as_transcripts(_tbl(spark, sf_dir, "documents"))
+    nodes = parse_transcripts(transcripts, repartition_for_skew=False)
+    return variant_mix(nodes)
+
+
 def q_conversation_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conversation-granularity document assembly from parsed nodes."""
     from open_parse_spark.operators.conversations import conversation_assembly
@@ -775,6 +793,8 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "multimodal_features": (q_multimodal_features, None),
     "dedup_components": (q_dedup_components, None),
     "conversation_assembly": (q_conversation_assembly, None),
+    "eval_metrics": (q_eval_metrics, None),
+    "eval_variant_mix": (q_eval_variant_mix, None),
     # SQL-checked
     "op_remove_repeated": (q_op_remove_repeated, SQL_OP_REMOVE_REPEATED),
     "op_remove_below_tokens": (q_op_remove_below_tokens, SQL_OP_REMOVE_BELOW_TOKENS),
