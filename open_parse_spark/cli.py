@@ -44,9 +44,11 @@ def main(argv=None) -> int:
     spark = get_spark(app_name=f"open-parse-{args.cmd}", master=args.master)
 
     if args.cmd == "parse":
+        from open_parse_spark.sources.transcripts import load_transcripts
         from open_parse_spark.spark.checkpoint import run_resumable
 
-        transcripts = spark.read.parquet(args.input)
+        # Iceberg-table-or-parquet-path resolution + column validation
+        transcripts = load_transcripts(spark, args.input)
         res = run_resumable(
             spark,
             transcripts,

@@ -53,10 +53,14 @@ _PRETOKEN_RE = re.compile(
 _findall = _PRETOKEN_RE.findall
 
 
-_CACHE_MAX_LEN = 10_000  # don't pin megabyte payload strings in the cache
+# Cache sized by worst-case pinned bytes, not just entry count: 8192 entries
+# x 2048 chars caps resident strings at ~16-64 MB per Python worker even on
+# diverse corpora where every entry is unique (one worker per core per
+# executor means this multiplies by the core count).
+_CACHE_MAX_LEN = 2_048
 
 
-@lru_cache(maxsize=65536)
+@lru_cache(maxsize=8192)
 def _num_tokens_cached(string: str) -> int:
     if _ENCODER is not None:  # pragma: no cover
         return len(_ENCODER.encode(string))

@@ -137,9 +137,29 @@ class DocumentParser:
                 for conv_id, turn_idx, text, tool in zip(
                     pdf["conv_id"], pdf["turn_idx"], pdf["text"], pdf["tool"]
                 ):
-                    nodes = run_pipeline(
-                        elements_to_nodes(decode_payload(text, tool)), transforms
-                    )
+                    try:
+                        nodes = run_pipeline(
+                            elements_to_nodes(decode_payload(text, tool)), transforms
+                        )
+                    except Exception as exc:
+                        # same lineage contract as _parse_partition
+                        # (pipeline.py): a malformed payload becomes one
+                        # node_idx=-1 parse_error row, never a failed job
+                        out["conv_id"].append(conv_id)
+                        out["turn_idx"].append(int(turn_idx))
+                        out["node_idx"].append(-1)
+                        out["text"].append(None)
+                        out["tokens"].append(0)
+                        out["variant"].append(["error"])
+                        out["num_pages"].append(0)
+                        out["start_page"].append(0)
+                        out["end_page"].append(0)
+                        out["bbox"].append([])
+                        out["elements"].append([])
+                        out["parse_error"].append(
+                            f"{type(exc).__name__}: {exc}"[:500]
+                        )
+                        continue
                     for i, node in enumerate(nodes):
                         rec = node_to_record(node, i)
                         out["conv_id"].append(conv_id)

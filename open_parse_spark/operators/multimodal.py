@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    BooleanType,
     FloatType,
     IntegerType,
     LongType,
@@ -51,6 +52,7 @@ FEATURE_SCHEMA = StructType(
         StructField("n_bytes", LongType(), False),
         StructField("sha", StringType(), False),
         StructField("feature", ArrayType(FloatType()), False),
+        StructField("decode_ok", BooleanType(), False),
     ]
 )
 
@@ -79,20 +81,27 @@ def _feature_vector(data: bytes) -> List[float]:
 
 def _extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
-        rows = {k: [] for k in ("media_id", "kind", "n_bytes", "sha", "feature")}
+        rows = {
+            k: []
+            for k in ("media_id", "kind", "n_bytes", "sha", "feature", "decode_ok")
+        }
         for media_id, kind, mime, data in zip(
             pdf["media_id"], pdf["kind"], pdf["mime"], pdf["data"]
         ):
             raw = bytes(data) if data is not None else b""
             try:
                 decoded = decode_media(raw, mime)
+                ok = True
             except NotImplementedError:
-                continue  # undecodable media skipped, not fatal
+                # undecodable media: counted-and-carried, never silently
+                # dropped (lineage must account for every input row)
+                decoded, ok = b"", False
             rows["media_id"].append(int(media_id))
             rows["kind"].append(kind)
             rows["n_bytes"].append(len(raw))
             rows["sha"].append(hashlib.sha256(raw).hexdigest())
-            rows["feature"].append(_feature_vector(decoded))
+            rows["feature"].append(_feature_vector(decoded) if ok else [])
+            rows["decode_ok"].append(ok)
         yield pd.DataFrame(rows)
 
 

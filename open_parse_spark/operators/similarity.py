@@ -81,28 +81,77 @@ def brute_force_topk(
     )
 
 
-def hyperplane(plane: int, dim: int) -> Column:
-    """Deterministic pseudo-random hyperplane component in [-1, 1):
-    (xxhash64(plane, d) mod 2001 - 1000) / 1000."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda d: (
-            F.pmod(F.xxhash64(F.lit(plane), d), F.lit(2001)) - F.lit(1000)
-        ).cast("double")
-        / F.lit(1000.0),
-    )
+def plane_values(plane: int, dim: int) -> list:
+    """Deterministic pseudo-random hyperplane components in [-1, 1):
+    ((first-8-bytes of sha256(f"{plane}:{d}") mod 2001) - 1000) / 1000.
+
+    Generated ONCE driver-side and shipped as a literal array column: the
+    original formulation built the plane per row via
+    ``transform(sequence(...))`` + per-element ``xxhash64`` — interpreted
+    higher-order functions re-evaluated for every row, which made LSH
+    bucketing ~30x slower than the dot products it feeds (the trap
+    ROUND_NOTES.md documents for n-grams).  A literal array is
+    constant-folded by Catalyst, so the per-row work is exactly one
+    zip_with/aggregate dot per plane.  The same values are embedded in the
+    DuckDB oracle SQL, making the whole LSH path value-checkable."""
+    import hashlib
+
+    out = []
+    for d in range(dim):
+        h = int.from_bytes(
+            hashlib.sha256(f"{plane}:{d}".encode()).digest()[:8], "big"
+        )
+        out.append(((h % 2001) - 1000) / 1000.0)
+    return out
 
 
 def lsh_bucket(
     vec: Column, num_planes: int, dim: int, plane_offset: int = 0
 ) -> Column:
     """Sign-pattern bucket id over ``num_planes`` deterministic hyperplanes
-    (``plane_offset`` selects an independent plane set per LSH table)."""
+    (``plane_offset`` selects an independent plane set per LSH table).
+    First plane in the set is the most-significant bit.
+
+    Pure-JVM expression variant — useful as a write-time column (one table's
+    bucket per partition-by column); the query path (``lsh_topk``) computes
+    all tables' buckets in one Arrow batch instead, which is ~20x faster
+    (HOF dots are interpreted per element, never whole-stage-codegen'd)."""
     bucket = F.lit(0).cast("long")
     for p in range(plane_offset, plane_offset + num_planes):
-        bit = F.when(dot(vec, hyperplane(p, dim)) >= 0, F.lit(1)).otherwise(F.lit(0))
+        planes = F.lit(plane_values(p, dim))
+        bit = F.when(dot(vec, planes) >= 0, F.lit(1)).otherwise(F.lit(0))
         bucket = bucket * 2 + bit
     return bucket
+
+
+def lsh_buckets_arrow(num_planes: int, num_tables: int, dim: int):
+    """Vectorized pandas UDF computing all ``num_tables`` bucket ids for a
+    vector column in one Arrow batch: (n, dim) @ (dim, tables*planes) matmul,
+    sign bits folded MSB-first exactly like ``lsh_bucket``.
+
+    The dot products use the same driver-side literal planes as the DuckDB
+    oracle; a sign disagreement with the oracle's sequential fold would need
+    |dot| within ~1e-13 of zero — negligible for real-valued embeddings."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, LongType
+
+    planes = np.array(
+        [plane_values(p, dim) for p in range(num_tables * num_planes)]
+    )  # (tables*planes, dim)
+    weights = np.array([1 << (num_planes - 1 - i) for i in range(num_planes)])
+
+    # no type annotations: pandas/pd is function-local here, so annotations
+    # would be unresolvable strings and pandas_udf rejects the signature
+    def _buckets(vecs):
+        m = np.stack(vecs.values).astype(np.float64)  # (n, dim)
+        dots = m @ planes.T  # (n, tables*planes)
+        bits = (dots >= 0).astype(np.int64).reshape(
+            len(m), num_tables, num_planes
+        )
+        return pd.Series(list((bits * weights).sum(axis=2)))
+
+    return F.pandas_udf(_buckets, ArrayType(LongType()))
 
 
 def kmeans_centroids(
@@ -268,7 +317,7 @@ def lsh_topk(
     queries: DataFrame,
     k: int = 5,
     num_planes: int = 4,
-    num_tables: int = 8,
+    num_tables: int = 16,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -282,33 +331,21 @@ def lsh_topk(
     (num_planes, num_tables)."""
     from pyspark.sql.window import Window
 
-    def buckets(vec: Column) -> Column:
-        return F.array(
-            *[
-                F.struct(
-                    F.lit(t).alias("table"),
-                    lsh_bucket(vec, num_planes, dim, plane_offset=t * num_planes).alias(
-                        "bucket"
-                    ),
-                )
-                for t in range(num_tables)
-            ]
-        )
-
-    c = (
-        embeddings.select(
-            F.col(id_col).alias("neighbor_id"),
-            _as_double(F.col(vec_col)).alias("cv"),
-        )
-        .withColumn("tb", F.explode(buckets(F.col("cv"))))
-        .select("neighbor_id", "cv", "tb.table", "tb.bucket")
+    buckets_udf = lsh_buckets_arrow(num_planes, num_tables, dim)
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("cv"),
+    ).select(
+        "neighbor_id",
+        "cv",
+        F.posexplode(buckets_udf(F.col("cv"))).alias("table", "bucket"),
     )
-    q = (
-        queries.select(
-            F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
-        )
-        .withColumn("tb", F.explode(buckets(F.col("qv"))))
-        .select("query_id", "qv", "tb.table", "tb.bucket")
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    ).select(
+        "query_id",
+        "qv",
+        F.posexplode(buckets_udf(F.col("qv"))).alias("table", "bucket"),
     )
     scored = (
         F.broadcast(q)

@@ -360,12 +360,16 @@ def process_row_cells(
     return data_cells
 
 
+# reference table_transformers/ml.py: MIN_CELL_CONFIDENCE
+MIN_CELL_CONFIDENCE = 0.95
+
+
 def table_from_model_outputs(
     image_size: Size,
     page_size: Size,
     table_bbox: BBox,
     table_cells: List[TableCellModelOutput],
-    min_cell_confidence: float = 0.95,
+    min_cell_confidence: float = MIN_CELL_CONFIDENCE,
 ) -> Table:
     """Reference ml.py:208-234."""
     headers = [

@@ -99,6 +99,64 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_topk(emb, emb.where(F.col("vec_id") < 10), k=5)
 
 
+# the LSH hyperplanes are driver-side literals (similarity.plane_values), so
+# the exact same planes are embedded in the oracle SQL — the full approximate
+# path (bucketing, candidate join, dedup, rank) is value-checked, not just
+# the brute-force baseline
+
+
+def _lsh_bucket_sql(col: str, table: int, num_planes: int = 4, dim: int = 64) -> str:
+    terms = []
+    for i in range(num_planes):
+        vals = ", ".join(repr(v) for v in S.plane_values(table * num_planes + i, dim))
+        weight = 1 << (num_planes - 1 - i)  # first plane = MSB, as in lsh_bucket
+        terms.append(
+            f"(CASE WHEN list_dot_product({col}, [{vals}]) >= 0"
+            f" THEN {weight} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+# must track lsh_topk's defaults: num_tables tables of num_planes planes
+_LSH_TABLES = 16
+
+_LSH_QB = "\nUNION ALL\n".join(
+    f"  SELECT query_id, qv, {t} AS tbl, {_lsh_bucket_sql('qv', t)} AS bucket FROM q"
+    for t in range(_LSH_TABLES)
+)
+_LSH_CB = "\nUNION ALL\n".join(
+    f"  SELECT neighbor_id, cv, {t} AS tbl, {_lsh_bucket_sql('cv', t)} AS bucket FROM c"
+    for t in range(_LSH_TABLES)
+)
+
+SQL_ANN_LSH = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10
+), c AS (
+  SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings
+), qb AS (
+{_LSH_QB}
+), cb AS (
+{_LSH_CB}
+), cand AS (
+  SELECT DISTINCT query_id, neighbor_id FROM qb JOIN cb USING (tbl, bucket)
+  WHERE query_id <> neighbor_id
+), s AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         list_dot_product(qv, cv) /
+         (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS sim
+  FROM cand
+  JOIN q ON q.query_id = cand.query_id
+  JOIN c ON c.neighbor_id = cand.neighbor_id
+), r AS (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+  FROM s
+)
+SELECT query_id, neighbor_id, rank, round(sim, 4) AS sim4 FROM r WHERE rank <= 5
+"""
+
+
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k (coarse k-means quantizer + bucket probing)."""
     emb = _tbl(spark, sf_dir, "embeddings")
@@ -172,14 +230,50 @@ def q_export_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-column feature extraction via mapInPandas (decode stubbed)."""
+    """Binary-column feature extraction via mapInPandas (decode stubbed).
+
+    For the gate the feature vector is serialized to a comma-joined string of
+    its 16-bit integer lattice values (feature[i] = k_i / 65536 exactly, so
+    round(x * 65536) recovers k_i losslessly) — library users get the
+    array<float> column from ``extract_media_features`` directly."""
     from open_parse_spark.operators.multimodal import (
         extract_media_features,
         synthesize_media_from_documents,
     )
 
     media = synthesize_media_from_documents(_tbl(spark, sf_dir, "documents"))
-    return extract_media_features(media)
+    feats = extract_media_features(media)
+    return feats.where(F.col("decode_ok")).select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        "sha",
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.col("feature"),
+                lambda x: F.round(x * F.lit(65536.0)).cast("int").cast("string"),
+            ),
+        ).alias("feature_str"),
+    )
+
+
+# feature[i] = int(sha256(data)[2i:2i+2]) / 65536 -> hex chars [4i+1, 4i+4]
+_FEATURE_INT_SQL = ", ".join(
+    f"(('0x' || substr(sha256(text), {4 * i + 1}, 4))::INT)::VARCHAR"
+    for i in range(16)
+)
+
+SQL_MULTIMODAL_FEATURES = f"""
+SELECT doc_id AS media_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'image'
+            WHEN doc_id % 3 = 1 THEN 'audio'
+            ELSE 'video' END AS kind,
+       octet_length(encode(text))::BIGINT AS n_bytes,
+       sha256(text) AS sha,
+       concat_ws(',', {_FEATURE_INT_SQL}) AS feature_str
+FROM documents
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -418,7 +512,7 @@ WITH g AS (
            AS session_no
   FROM g
 )
-SELECT user_id, session_no,
+SELECT user_id, session_no::BIGINT AS session_no,
        count(*) AS n_events,
        strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start
 FROM s GROUP BY user_id, session_no
@@ -453,8 +547,9 @@ def q_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_NEARDUP_JACCARD = """
-WITH w AS (
+# CTE chain shared by the jaccard-pairs oracle and the connected-components
+# oracle (which runs a recursive reachability walk over the same pairs)
+_JACCARD_CTES = """w AS (
   SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents
 ), g0 AS (
   SELECT doc_id,
@@ -474,12 +569,30 @@ WITH w AS (
   FROM gg a JOIN gg b USING (gram)
   WHERE a.doc_id < b.doc_id
   GROUP BY 1, 2
+), jpairs AS (
+  SELECT doc_a, doc_b, inter, sa.n_grams + sb.n_grams - inter AS uni
+  FROM pairs
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE 2 * inter >= (sa.n_grams + sb.n_grams - inter)
+)"""
+
+SQL_NEARDUP_JACCARD = f"""
+WITH {_JACCARD_CTES}
+SELECT doc_a, doc_b, inter, uni FROM jpairs
+"""
+
+SQL_DEDUP_COMPONENTS = f"""
+WITH RECURSIVE {_JACCARD_CTES}, edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM jpairs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM jpairs
+), reach(id, r) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT reach.id, e.b FROM reach JOIN edges e ON e.a = reach.r
 )
-SELECT doc_a, doc_b, inter, sa.n_grams + sb.n_grams - inter AS uni
-FROM pairs
-JOIN sizes sa ON sa.doc_id = doc_a
-JOIN sizes sb ON sb.doc_id = doc_b
-WHERE 2 * inter >= (sa.n_grams + sb.n_grams - inter)
+SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id
 """
 
 
@@ -740,7 +853,7 @@ WITH t AS (
 )
 SELECT conv_id,
        count(*) AS n_turns,
-       sum(length(text)) AS total_chars,
+       sum(length(text))::BIGINT AS total_chars,
        max(length(text)) AS max_turn_chars,
        count(DISTINCT role) AS n_roles,
        min(turn_idx)::BIGINT AS first_turn,
@@ -762,13 +875,86 @@ def q_conv_context(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_conv_transcript_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-transcript conversation assembly (the parse-independent half of
+    conversation_assembly, so it is fully SQL-checkable): all of a
+    conversation's raw turn texts joined in turn order."""
+    transcripts = documents_as_transcripts(_tbl(spark, sf_dir, "documents"))
+    return (
+        transcripts.groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.sort_array(
+                F.collect_list(F.struct(F.col("turn_idx"), F.col("text")))
+            ).alias("_t"),
+        )
+        .select(
+            "conv_id",
+            "n_turns",
+            F.array_join(F.col("_t.text"), "\n\n").alias("conversation_text"),
+        )
+    )
+
+
+SQL_CONV_TRANSCRIPT_ASSEMBLY = f"""
+WITH t AS (
+{_CONV_SQL_BASE}
+)
+SELECT conv_id,
+       count(*) AS n_turns,
+       string_agg(text, chr(10) || chr(10) ORDER BY turn_idx) AS conversation_text
+FROM t GROUP BY conv_id
+"""
+
+
+def q_export_relations_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2 relation invariants, verified per conversation: every parsed
+    document (turn) must have exactly one head (null prev) and one tail
+    (null next), one parent id, unique node ids, and contiguous node_idx
+    starting at 0.  The oracle states the expected invariant per conv — a
+    genuine contract check (any window/hashing regression flips a flag)."""
+    from open_parse_spark.plans.exports import nodes_with_relations
+
+    transcripts = documents_as_transcripts(_tbl(spark, sf_dir, "documents"))
+    nodes = parse_transcripts(transcripts, repartition_for_skew=False)
+    rel = nodes_with_relations(nodes)
+    per_doc = rel.groupBy("conv_id", "turn_idx").agg(
+        (F.sum(F.col("prev_id").isNull().cast("int")) == 1).alias("one_head"),
+        (F.sum(F.col("next_id").isNull().cast("int")) == 1).alias("one_tail"),
+        (F.count_distinct("node_id") == F.count(F.lit(1))).alias("ids_unique"),
+        (F.count_distinct("parent_id") == 1).alias("one_parent"),
+        (
+            (F.min("node_idx") == 0)
+            & (F.max("node_idx") + 1 == F.count(F.lit(1)))
+        ).alias("contiguous"),
+    )
+    return per_doc.groupBy("conv_id").agg(
+        F.bool_and("one_head").alias("one_head"),
+        F.bool_and("one_tail").alias("one_tail"),
+        F.bool_and("ids_unique").alias("ids_unique"),
+        F.bool_and("one_parent").alias("one_parent"),
+        F.bool_and("contiguous").alias("contiguous"),
+    )
+
+
+SQL_EXPORT_RELATIONS_CHECK = f"""
+WITH t AS (
+{_CONV_SQL_BASE}
+)
+SELECT DISTINCT conv_id,
+       true AS one_head, true AS one_tail, true AS ids_unique,
+       true AS one_parent, true AS contiguous
+FROM t
+"""
+
+
 SQL_CONV_CONTEXT = f"""
 WITH t AS (
 {_CONV_SQL_BASE}
 )
 SELECT conv_id, turn_idx::BIGINT AS turn_idx, role,
        count(*) OVER w AS context_n_turns,
-       sum(length(text)) OVER w AS context_chars
+       (sum(length(text)) OVER w)::BIGINT AS context_chars
 FROM t
 WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx
              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
@@ -785,14 +971,20 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "parse_metrics": (q_parse_metrics, None),
     "dedup_minhash": (q_dedup_minhash, None),
     "dedup_simhash": (q_dedup_simhash, None),
-    "ann_lsh": (q_ann_lsh, None),
     "ann_ivf": (q_ann_ivf, None),
     "ann_recall": (q_ann_recall, None),
     "parse_semantic": (q_parse_semantic, None),
     "export_relations": (q_export_relations, None),
-    "multimodal_features": (q_multimodal_features, None),
-    "dedup_components": (q_dedup_components, None),
     "conversation_assembly": (q_conversation_assembly, None),
+    # SQL-checked (converted from rows-only in round 2)
+    "ann_lsh": (q_ann_lsh, SQL_ANN_LSH),
+    "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
+    "dedup_components": (q_dedup_components, SQL_DEDUP_COMPONENTS),
+    "conv_transcript_assembly": (
+        q_conv_transcript_assembly,
+        SQL_CONV_TRANSCRIPT_ASSEMBLY,
+    ),
+    "export_relations_check": (q_export_relations_check, SQL_EXPORT_RELATIONS_CHECK),
     "eval_metrics": (q_eval_metrics, None),
     "eval_variant_mix": (q_eval_variant_mix, None),
     # SQL-checked

@@ -166,6 +166,11 @@ def run_resumable(
         lineage_pdf.write.mode("append").parquet(checkpoint_path)
         processed.extend(wave)
 
+    # all actions have run: undo any scan-split conf auto mode lowered
+    from open_parse_spark.spark.pipeline import restore_split_conf
+
+    restore_split_conf(spark)
+
     return ResumableResult(
         processed_buckets=processed,
         skipped_buckets=sorted(done),

@@ -165,6 +165,31 @@ def _parse_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(out)
 
 
+# spark.sql.files.maxPartitionBytes values from before the first auto-mode
+# parse lowered them, keyed by session identity (None = conf was unset)
+_PRIOR_SPLIT_CONF: dict = {}
+
+
+def restore_split_conf(spark) -> None:
+    """Restore ``spark.sql.files.maxPartitionBytes`` to its pre-parse value.
+
+    Auto skew mode lowers the session conf so the (lazy) parse job gets
+    enough scan splits; the lowered value must survive until the job's
+    terminal action runs, so the parse itself cannot restore it.  Call this
+    after the action completes (run_resumable and the CLI do) so unrelated
+    later queries in the same session don't inherit tiny splits."""
+    prior = _PRIOR_SPLIT_CONF.pop(id(spark), _MISSING)
+    if prior is _MISSING:
+        return
+    if prior is None:
+        spark.conf.unset("spark.sql.files.maxPartitionBytes")
+    else:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prior)
+
+
+_MISSING = object()
+
+
 def _input_file_bytes(df: DataFrame) -> int:
     """Total input bytes from file metadata (no data is read)."""
     import os
@@ -284,10 +309,16 @@ def parse_transcripts(
                     ),
                 )
                 # session-level conf (it must still be set at execution
-                # time); only lower it when the input is big enough that
-                # re-splitting matters — a tiny input must not leave a
-                # tiny-split setting behind for later queries
+                # time, so it cannot be scoped to this call — Spark reads it
+                # lazily when the action runs); only lower it when the input
+                # is big enough that re-splitting matters, record the prior
+                # value, and let terminal operations (run_resumable, CLI,
+                # bench) call restore_split_conf() once their actions finish
                 if total_bytes >= 8 * (1 << 20):
+                    if id(spark) not in _PRIOR_SPLIT_CONF:
+                        _PRIOR_SPLIT_CONF[id(spark)] = spark.conf.get(
+                            "spark.sql.files.maxPartitionBytes", None
+                        )
                     spark.conf.set(
                         "spark.sql.files.maxPartitionBytes", str(split_bytes)
                     )

@@ -91,3 +91,41 @@ def test_parse_table_distributed(spark):
     # distributed result equals local parse
     local = DocumentParser().parse(_payload())
     assert out[out.turn_idx == 0]["text"].tolist() == [n.text for n in local.nodes]
+
+
+def test_parse_table_custom_pipeline_emits_error_rows(spark):
+    """A malformed payload in the custom-pipeline path becomes a node_idx=-1
+    parse_error row (same lineage contract as the stock path), never a
+    failed Spark job."""
+    import pandas as pd
+
+    pipeline = BasicIngestionPipeline()
+
+    def explode_on_marker(nodes):
+        if any("BOOM" in (n.text or "") for n in nodes):
+            raise ValueError("marker payload")
+        return nodes
+
+    pipeline.append_transform(explode_on_marker)
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["c1", "c1"],
+            "turn_idx": pd.array([0, 1], dtype="int32"),
+            "role": ["user", "assistant"],
+            "text": ["BOOM " * 60, "plain prose " * 100],
+            "tool": ["", ""],
+            "ts": pd.to_datetime(["2020-01-01", "2020-01-01"]),
+        }
+    )
+    out = (
+        DocumentParser(pipeline)
+        .parse_table(spark.createDataFrame(pdf))
+        .orderBy("turn_idx", "node_idx")
+        .toPandas()
+    )
+    errs = out[out.node_idx == -1]
+    assert len(errs) == 1
+    assert errs.iloc[0]["turn_idx"] == 0
+    assert "ValueError" in errs.iloc[0]["parse_error"]
+    # the healthy turn still parsed
+    assert (out[out.turn_idx == 1].node_idx >= 0).all()

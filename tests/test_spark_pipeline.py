@@ -144,3 +144,28 @@ def test_resume_exactly_once(spark, transcripts_df, tmp_path):
     assert (lineage["input_rows"] >= 0).all()
 
     shutil.rmtree(tmp_path, ignore_errors=True)
+
+
+def test_split_conf_restored_after_parse(spark):
+    """Auto skew mode records the prior maxPartitionBytes before lowering it;
+    restore_split_conf puts the session back exactly (run_resumable and the
+    CLI call it after their terminal actions)."""
+    from open_parse_spark.spark.pipeline import _PRIOR_SPLIT_CONF, restore_split_conf
+
+    prior = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    # what auto mode does when the input is >= 8 MiB
+    _PRIOR_SPLIT_CONF[id(spark)] = prior
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(1 << 20))
+    restore_split_conf(spark)
+    assert spark.conf.get("spark.sql.files.maxPartitionBytes") == prior
+    assert id(spark) not in _PRIOR_SPLIT_CONF
+    # idempotent no-op when nothing was recorded
+    restore_split_conf(spark)
+    assert spark.conf.get("spark.sql.files.maxPartitionBytes") == prior
+
+
+def test_small_input_auto_mode_leaves_conf_untouched(spark, transcripts_df):
+    """Tiny inputs must not trigger the session-conf mutation at all."""
+    prior = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    parse_transcripts(transcripts_df, repartition_for_skew="auto").count()
+    assert spark.conf.get("spark.sql.files.maxPartitionBytes") == prior

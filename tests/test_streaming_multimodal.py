@@ -74,6 +74,7 @@ def test_multimodal_features_spark(spark):
     media = synthesize_media_from_documents(docs)
     feats = extract_media_features(media).toPandas()
     assert len(feats) == docs.count()
+    assert feats["decode_ok"].all()  # synthetic mimes are all decodable
     assert all(len(v) == 16 for v in feats["feature"])
     assert (feats["n_bytes"] > 0).all()
 
@@ -89,3 +90,26 @@ def test_decode_media_stub_raises_for_unknown():
     with pytest.raises(NotImplementedError):
         decode_media(b"x", "application/octet-stream")
     assert decode_media(b"x", "image/png") == b"x"
+
+
+def test_undecodable_media_kept_in_lineage(spark):
+    """Undecodable rows are counted-and-carried (decode_ok=false, empty
+    feature), never silently dropped — lineage accounts for every input."""
+    from open_parse_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_media_features,
+    )
+
+    rows = [
+        (1, "image", "image/png", b"ok-bytes", None, None, None),
+        (2, "image", "image/tiff", b"no-codec", None, None, None),
+    ]
+    media = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    feats = (
+        extract_media_features(media).orderBy("media_id").toPandas()
+    )
+    assert len(feats) == 2
+    assert list(feats["decode_ok"]) == [True, False]
+    assert len(feats["feature"][0]) == 16
+    assert len(feats["feature"][1]) == 0
+    assert (feats["n_bytes"] > 0).all()  # raw bytes still measured
