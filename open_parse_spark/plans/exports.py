@@ -12,7 +12,7 @@
 
 from __future__ import annotations
 
-from typing import List
+from typing import List, Optional
 
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
@@ -71,13 +71,22 @@ def documents_assembly(nodes: DataFrame) -> DataFrame:
     )
 
 
-def render_markdown(variants: List[str], texts: List[str], images: List[str]) -> str:
+def render_markdown(
+    variants: List[str],
+    texts: List[str],
+    images: List[str],
+    image_mimes: Optional[List[str]] = None,
+) -> str:
     """K4 ``Node._repr_markdown_`` (reference schemas.py:650-667): join
-    element renders with blank lines; images inline as data URIs."""
+    element renders with blank lines; text and table elements render their
+    text, images inline as base64 data URIs using the element's mimetype
+    (``unknown`` falls back to image/png exactly as the reference does)."""
     parts = []
-    for variant, text, image in zip(variants, texts, images):
+    mimes = image_mimes or ["unknown"] * len(variants)
+    for variant, text, image, mime in zip(variants, texts, images, mimes):
         if variant == "image":
-            mime = "image/png"
+            if mime == "unknown":
+                mime = "image/png"
             parts.append(f"![Image](data:{mime};base64,{image})")
         else:
             parts.append(text)

@@ -158,3 +158,46 @@ def test_line_bbox_rounded_to_2dp():
     """Reference schemas.py:116-119."""
     line = LineElement(bbox=(0.123456, 1.995, 10.004, 20.129), spans=())
     assert line.bbox == (0.12, 2.0, 10.0, 20.13)
+
+
+# ---------------------------------------------------------------------------
+# K4: render_markdown == reference Node._repr_markdown_ (schemas.py:650-667)
+# ---------------------------------------------------------------------------
+
+
+def test_render_markdown_text_and_table_join():
+    from open_parse_spark.plans.exports import render_markdown
+
+    out = render_markdown(
+        variants=["text", "table"],
+        texts=["**Heading**<br>body", "<table border=\"1\">...</table>"],
+        images=["", ""],
+    )
+    # text and table elements render their text, joined by blank lines
+    assert out == "**Heading**<br>body\n\n<table border=\"1\">...</table>"
+
+
+def test_render_markdown_image_data_uri_and_mime_fallback():
+    from open_parse_spark.plans.exports import render_markdown
+
+    # explicit mimetype is used; reference maps "unknown" -> image/png
+    out = render_markdown(
+        variants=["image", "image", "text"],
+        texts=["", "", "tail"],
+        images=["QUJD", "RUZH", ""],
+        image_mimes=["image/jpeg", "unknown", "unknown"],
+    )
+    assert out.split("\n\n") == [
+        "![Image](data:image/jpeg;base64,QUJD)",
+        "![Image](data:image/png;base64,RUZH)",
+        "tail",
+    ]
+    # mimes omitted entirely -> every image falls back to png
+    out2 = render_markdown(["image"], [""], ["QUJD"])
+    assert out2 == "![Image](data:image/png;base64,QUJD)"
+
+
+def test_render_markdown_empty_node():
+    from open_parse_spark.plans.exports import render_markdown
+
+    assert render_markdown([], [], []) == ""
