@@ -202,6 +202,7 @@ def main() -> None:
         "dedup_simhash",
         "ann_cosine_topk",
         "ann_lsh",
+        "ann_ivf",
         "text_quality",
         "lang_id",
         "op_spatial_anti_join",
@@ -226,8 +227,11 @@ def main() -> None:
     # pairing adjacent runs samples both levels in the same climate, and the
     # median rejects a single stolen window (best-of across levels does not:
     # the two bests can come from different climates).
+    # 5 pairs -> a true median that survives two stolen windows; each pair
+    # samples both levels back-to-back in the same VM climate
+    pairs = int(os.environ.get("BENCH_PAIRS", "5"))
     ratios, pair_rows = [], []
-    for _ in range(max(2, reps + 1)):
+    for _ in range(max(2, pairs)):
         tn = _parse_once_subprocess(n_cores)
         t4 = _parse_once_subprocess(n4_cores)
         ratios.append((tn[1] / t4[1]) / (n4_cores / n_cores))

@@ -26,10 +26,38 @@ from __future__ import annotations
 
 import re
 from dataclasses import dataclass
-from functools import cached_property
 from typing import Dict, List, Optional, Sequence, Tuple
 
 from open_parse_spark.core.tokens import num_tokens
+
+
+class cached_property:  # noqa: N801 — drop-in for functools.cached_property
+    """Lock-free cached property.
+
+    Python 3.11's ``functools.cached_property`` acquires an RLock on every
+    first access; pipeline transforms create fresh ``Node`` objects per merge
+    step, so in the parse hot path virtually ALL property accesses are first
+    touches (~40 per turn) and the lock+checks were ~10% of parse CPU.
+    Python workers evaluate a task single-threaded, and every property here
+    is a pure function of immutable state, so an (impossible) race would only
+    recompute the same value."""
+
+    __slots__ = ("func", "attrname", "doc")
+
+    def __init__(self, func):
+        self.func = func
+        self.attrname = None
+        self.doc = func.__doc__
+
+    def __set_name__(self, owner, name):
+        self.attrname = name
+
+    def __get__(self, instance, owner=None):
+        if instance is None:
+            return self
+        val = self.func(instance)
+        instance.__dict__[self.attrname] = val
+        return val
 
 # Reference: consts.py:3-6
 TOKENIZATION_LOWER_LIMIT = 256

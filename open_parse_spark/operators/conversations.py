@@ -77,3 +77,63 @@ def conversation_stats(transcripts: DataFrame) -> DataFrame:
         F.min("turn_idx").alias("first_turn"),
         F.max("turn_idx").alias("last_turn"),
     )
+
+
+def conversation_fingerprint_dedup(transcripts: DataFrame) -> DataFrame:
+    """Conversation-granularity dedup: two conversations are duplicates when
+    their normalized assembled transcripts (turn-ordered, whitespace/punct/
+    case-folded) hash equal.  The corpus unit is the conversation, so dedup
+    must see whole conversations — turn-level dedup cannot catch a re-logged
+    conversation whose turns each appear twice legitimately.
+
+    One shuffle on conv_id (bucket key -> shuffle-free on bucketed input)
+    then one on the 128-bit fingerprint (uniform)."""
+    assembled = transcripts.groupBy("conv_id").agg(
+        F.array_join(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("turn_idx"), F.col("text")))
+            ).getField("text"),
+            "\n",
+        ).alias("conv_text")
+    )
+    fp = F.md5(
+        F.trim(
+            F.regexp_replace(F.lower(F.col("conv_text")), "[^a-z0-9]+", " ")
+        )
+    )
+    return (
+        assembled.select("conv_id", fp.alias("conv_fp"))
+        .groupBy("conv_fp")
+        .agg(
+            F.count(F.lit(1)).alias("dup_count"),
+            F.min("conv_id").alias("keep_conv_id"),
+        )
+    )
+
+
+def role_sequence_stats(transcripts: DataFrame) -> DataFrame:
+    """Per-conversation dialogue-shape metrics: turns per role, whether the
+    conversation starts with a user turn, and how often consecutive turns
+    repeat a role (training pipelines filter mis-stitched transcripts on
+    exactly these)."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    with_prev = transcripts.select(
+        "conv_id",
+        "role",
+        "turn_idx",
+        F.lag("role").over(w).alias("prev_role"),
+        F.row_number().over(w).alias("rn"),
+    )
+    return with_prev.groupBy("conv_id").agg(
+        F.sum(F.when(F.col("role") == "user", 1).otherwise(0)).alias("user_turns"),
+        F.sum(F.when(F.col("role") == "assistant", 1).otherwise(0)).alias(
+            "assistant_turns"
+        ),
+        F.sum(F.when(F.col("role") == "tool", 1).otherwise(0)).alias("tool_turns"),
+        F.max(F.when(F.col("rn") == 1, F.col("role") == "user")).alias(
+            "starts_with_user"
+        ),
+        F.sum(
+            F.when(F.col("role") == F.col("prev_role"), 1).otherwise(0)
+        ).alias("repeated_role_runs"),
+    )

@@ -180,6 +180,7 @@ def kmeans_centroids(
             F.col("v").alias("centroid"),
         )
     )
+    dim = _dim_of(embeddings, vec_col)  # one driver read, hoisted out of Lloyd
     centroids = init
     for _ in range(iters):
         assigned = _assign_to_centroids(c, centroids)
@@ -189,11 +190,15 @@ def kmeans_centroids(
                 F.array(
                     *[
                         F.avg(F.element_at("v", i + 1)).alias(f"d{i}")
-                        for i in range(_dim_of(embeddings, vec_col))
+                        for i in range(dim)
                     ]
                 ).alias("centroid")
             )
         )
+        # truncate the iterative lineage: centroids are k tiny rows, but an
+        # un-checkpointed loop makes every downstream reference re-execute
+        # ALL previous iterations (and ivf_topk references centroids twice)
+        centroids = centroids.localCheckpoint(eager=True)
     return centroids
 
 
@@ -227,7 +232,7 @@ def ivf_topk(
     queries: DataFrame,
     k: int = 5,
     n_centroids: int = 16,
-    n_probe: int = 4,
+    n_probe: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:

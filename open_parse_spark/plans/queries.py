@@ -157,6 +157,64 @@ SELECT query_id, neighbor_id, rank, round(sim, 4) AS sim4 FROM r WHERE rank <= 5
 """
 
 
+def q_ann_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@5 of the LSH path vs brute force, per query — with the planes
+    embedded in the oracle, the *evaluation itself* is value-checked, not
+    self-reported (ivf recall stays in ann_recall, rows-only: k-means is
+    iterative, not SQL-expressible)."""
+    emb = _tbl(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 10)
+    exact = S.brute_force_topk(emb, queries_df, k=5)
+    return S.ann_recall(S.lsh_topk(emb, queries_df, k=5), exact)
+
+
+SQL_ANN_RECALL_LSH = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10
+), c AS (
+  SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings
+), qb AS (
+{_LSH_QB}
+), cb AS (
+{_LSH_CB}
+), cand AS (
+  SELECT DISTINCT query_id, neighbor_id FROM qb JOIN cb USING (tbl, bucket)
+  WHERE query_id <> neighbor_id
+), s AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         list_dot_product(qv, cv) /
+         (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS sim
+  FROM cand
+  JOIN q ON q.query_id = cand.query_id
+  JOIN c ON c.neighbor_id = cand.neighbor_id
+), lsh AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+    FROM s) t WHERE rank <= 5
+), es AS (
+  SELECT q.query_id, c.neighbor_id,
+         list_dot_product(qv, cv) /
+         (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS sim
+  FROM q, c WHERE q.query_id <> c.neighbor_id
+), ex AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+    FROM es) t WHERE rank <= 5
+), hits AS (
+  SELECT query_id, count(*) AS hits
+  FROM ex JOIN lsh USING (query_id, neighbor_id) GROUP BY query_id
+), base AS (
+  SELECT query_id, count(*) AS total FROM ex GROUP BY query_id
+)
+SELECT base.query_id,
+       coalesce(hits, 0) AS hits,
+       (coalesce(hits, 0) * 100 / total)::BIGINT AS recall_pct
+FROM base LEFT JOIN hits USING (query_id)
+"""
+
+
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k (coarse k-means quantizer + bucket probing)."""
     emb = _tbl(spark, sf_dir, "embeddings")
@@ -168,7 +226,9 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline evaluates its own approximations."""
     emb = _tbl(spark, sf_dir, "embeddings")
     queries_df = emb.where(F.col("vec_id") < 10)
-    exact = S.brute_force_topk(emb, queries_df, k=5)
+    # topk results are tiny (10 queries x k); checkpoint them so the recall
+    # joins don't re-execute the full scoring DAGs (exact is referenced twice)
+    exact = S.brute_force_topk(emb, queries_df, k=5).localCheckpoint(eager=True)
     lsh = S.ann_recall(S.lsh_topk(emb, queries_df, k=5), exact).select(
         "query_id", F.lit("lsh").alias("method"), "recall_pct"
     )
@@ -961,6 +1021,59 @@ WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx
 """
 
 
+def q_conv_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-granularity fingerprint dedup (the corpus unit is the
+    conversation; a re-logged conversation is invisible to turn-level dedup)."""
+    from open_parse_spark.operators.conversations import (
+        conversation_fingerprint_dedup,
+    )
+
+    transcripts = documents_as_transcripts(_tbl(spark, sf_dir, "documents"))
+    return conversation_fingerprint_dedup(transcripts)
+
+
+SQL_CONV_DEDUP = f"""
+WITH t AS (
+{_CONV_SQL_BASE}
+), assembled AS (
+  SELECT conv_id,
+         string_agg(text, chr(10) ORDER BY turn_idx) AS conv_text
+  FROM t GROUP BY conv_id
+)
+SELECT md5(trim(regexp_replace(lower(conv_text), '[^a-z0-9]+', ' ', 'g'))) AS conv_fp,
+       count(*) AS dup_count,
+       min(conv_id) AS keep_conv_id
+FROM assembled GROUP BY 1
+"""
+
+
+def q_conv_role_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dialogue-shape metrics per conversation (role mix, stitching checks)."""
+    from open_parse_spark.operators.conversations import role_sequence_stats
+
+    transcripts = documents_as_transcripts(_tbl(spark, sf_dir, "documents"))
+    return role_sequence_stats(transcripts)
+
+
+SQL_CONV_ROLE_STATS = f"""
+WITH t AS (
+{_CONV_SQL_BASE}
+), w AS (
+  SELECT conv_id, role, turn_idx,
+         lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_role,
+         row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS rn
+  FROM t
+)
+SELECT conv_id,
+       sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END)::BIGINT AS user_turns,
+       sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)::BIGINT AS assistant_turns,
+       sum(CASE WHEN role = 'tool' THEN 1 ELSE 0 END)::BIGINT AS tool_turns,
+       max(CASE WHEN rn = 1 THEN role = 'user' END) AS starts_with_user,
+       sum(CASE WHEN role = prev_role THEN 1 ELSE 0 END)::BIGINT AS repeated_role_runs
+FROM w GROUP BY conv_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -985,6 +1098,9 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
         SQL_CONV_TRANSCRIPT_ASSEMBLY,
     ),
     "export_relations_check": (q_export_relations_check, SQL_EXPORT_RELATIONS_CHECK),
+    "conv_dedup": (q_conv_dedup, SQL_CONV_DEDUP),
+    "conv_role_stats": (q_conv_role_stats, SQL_CONV_ROLE_STATS),
+    "ann_recall_lsh": (q_ann_recall_lsh, SQL_ANN_RECALL_LSH),
     "eval_metrics": (q_eval_metrics, None),
     "eval_variant_mix": (q_eval_variant_mix, None),
     # SQL-checked

@@ -74,6 +74,98 @@ def streaming_events_hourly(
     )
 
 
+def streaming_sessionize(
+    spark: SparkSession,
+    input_dir: str,
+    gap_seconds: int = 1800,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Custom STATEFUL streaming operator via ``applyInPandasWithState``:
+    gap-based sessionization per user — the streaming twin of
+    ``q_events_sessionize`` (lag + cumulative-sum windows in batch).
+
+    State per user = (session_no, last_ts, n_events, session_start) of the
+    open session.  Each micro-batch appends rows for every session it can
+    CLOSE; the still-open session stays in state.  The event-time timeout
+    (watermark-driven) closes idle sessions, so state is bounded — the
+    100 TB requirement for any keyed streaming state."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .parquet(input_dir)
+        .withWatermark("ts", watermark)
+    )
+
+    out_schema = (
+        "user_id long, session_no long, n_events long, session_start string"
+    )
+    state_schema = (
+        "session_no long, last_ts_us long, n_events long, session_start string"
+    )
+
+    def close_sessions(key, pdf_iter, state: GroupState):
+        (user_id,) = key
+        if state.hasTimedOut:
+            session_no, _last, n_events, start = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "session_no": [session_no],
+                    "n_events": [n_events],
+                    "session_start": [start],
+                }
+            )
+            return
+        if state.exists:
+            session_no, last_ts_us, n_events, start = state.get
+        else:
+            session_no, last_ts_us, n_events, start = 0, None, 0, None
+        closed = {"session_no": [], "n_events": [], "session_start": []}
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for ts in pdf["ts"]:
+                ts_us = int(ts.value // 1000)  # pandas ns -> us
+                new = (
+                    last_ts_us is None
+                    or ts_us - last_ts_us > gap_seconds * 1_000_000
+                )
+                if new:
+                    if n_events:
+                        closed["session_no"].append(session_no)
+                        closed["n_events"].append(n_events)
+                        closed["session_start"].append(start)
+                    session_no += 1
+                    n_events = 0
+                    start = ts.strftime("%Y-%m-%d %H:%M:%S")
+                n_events += 1
+                last_ts_us = ts_us
+        state.update((session_no, last_ts_us, n_events, start))
+        # close idle sessions via event-time timeout at last_ts + gap
+        state.setTimeoutTimestamp(last_ts_us // 1000 + gap_seconds * 1000)
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id] * len(closed["session_no"]),
+                "session_no": closed["session_no"],
+                "n_events": closed["n_events"],
+                "session_start": closed["session_start"],
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandasWithState(
+        close_sessions,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def run_stream_to_memory(
     stream_df: DataFrame, query_name: str, mode: str = "append"
 ):

@@ -113,3 +113,38 @@ def test_undecodable_media_kept_in_lineage(spark):
     assert len(feats["feature"][0]) == 16
     assert len(feats["feature"][1]) == 0
     assert (feats["n_bytes"] > 0).all()  # raw bytes still measured
+
+
+def test_streaming_sessionize_matches_batch(spark, tmp_path):
+    """Custom stateful operator (applyInPandasWithState): sessions the
+    stream CLOSES must match the batch sessionization exactly; sessions still
+    open in state at stream end are the only permitted difference."""
+    import os
+    import shutil
+
+    from open_parse_spark.plans.queries import q_events_sessionize
+    from open_parse_spark.streaming.jobs import run_stream_to_memory, streaming_sessionize
+
+    src = "/root/testdata/sf0.001"
+    d = tmp_path / "sess_in"
+    d.mkdir()
+    shutil.copy(os.path.join(src, "events.parquet"), d / "events.parquet")
+
+    stream = streaming_sessionize(spark, str(d))
+    q = run_stream_to_memory(stream, "sessions_stream", mode="append")
+    q.awaitTermination(180)
+    got = spark.table("sessions_stream").toPandas()
+
+    batch = q_events_sessionize(spark, src).toPandas()
+    # sessions followed by a later session of the same user are gap-closed in
+    # the stream too; each user's final session may legitimately still be open
+    last_per_user = batch.groupby("user_id")["session_no"].transform("max")
+    closed = batch[batch["session_no"] < last_per_user]
+
+    cols = ["user_id", "session_no", "n_events", "session_start"]
+    got_set = set(map(tuple, got[cols].itertuples(index=False)))
+    closed_set = set(map(tuple, closed[cols].itertuples(index=False)))
+    batch_set = set(map(tuple, batch[cols].itertuples(index=False)))
+    assert closed_set <= got_set, "stream lost a gap-closed session"
+    assert got_set <= batch_set, "stream emitted a session batch never saw"
+    assert len(got) == len(got_set)  # exactly-once per closed session
