@@ -203,6 +203,9 @@ def main() -> None:
         "ann_cosine_topk",
         "ann_lsh",
         "ann_ivf",
+        "neardup_cosine",
+        "quality_gopher",
+        "training_samples",
         "text_quality",
         "lang_id",
         "op_spatial_anti_join",

@@ -292,6 +292,59 @@ def ivf_topk(
     )
 
 
+def cosine_neardup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.35,
+    num_planes: int = 8,
+    num_tables: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — the scale path: LSH-bucketed
+    candidate generation (corpus self-join per (table, bucket), never
+    all-pairs), exact cosine computed on candidates only, kept when
+    ``round(sim, 4) >= threshold`` (rounded compare so the DuckDB oracle —
+    which embeds the same literal planes — agrees bit-for-bit).
+
+    Config notes: dedup wants SELECTIVE buckets — 8 planes/table makes a
+    random pair collide somewhere with p ~ 16 * 0.5^8 = 6% (4 planes would
+    make 64% of ALL pairs candidates: quadratic again).  At a real near-dup
+    threshold (cos >= 0.9, ~25 deg) recall is ~0.997 with 16x8; the synthetic
+    corpus has no true near-dups, so the registry threshold 0.35 exercises
+    the pipeline with candidates whose recall-vs-quadratic is deliberately
+    the (num_planes, num_tables) knob — semantics are "LSH candidates above
+    threshold" on both engines.  Candidates are deduped on ids BEFORE the
+    vectors are joined back, so the distinct never shuffles vector payloads.
+    At 100 TB the bucket ids are write-time columns and this becomes a
+    bucket-local self-join."""
+    buckets_udf = lsh_buckets_arrow(num_planes, num_tables, dim)
+    e = embeddings.select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
+    )
+    b = e.select(
+        "id",
+        F.posexplode(buckets_udf(F.col("v"))).alias("table", "bucket"),
+    )
+    cands = (
+        b.alias("a")
+        .join(b.alias("b"), ["table", "bucket"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
+        .distinct()
+    )
+    scored = (
+        cands.join(e.select(F.col("id").alias("doc_a"), F.col("v").alias("va")), "doc_a")
+        .join(e.select(F.col("id").alias("doc_b"), F.col("v").alias("vb")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 4).alias("sim4"),
+        )
+    )
+    return scored.where(F.col("sim4") >= F.lit(threshold))
+
+
 def ann_recall(approx: DataFrame, exact: DataFrame, k: int = 5) -> DataFrame:
     """recall@k of an approximate ANN result against the brute-force truth:
     (query_id, hits, recall_pct as integer percent — oracle-friendly)."""

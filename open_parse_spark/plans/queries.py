@@ -1074,6 +1074,152 @@ FROM w GROUP BY conv_id
 """
 
 
+def q_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (LSH-bucketed scale path; candidates
+    only, never all-pairs).  The oracle embeds the same literal planes, so
+    the bucketing, candidate join, and rounded-threshold filter are all
+    value-checked."""
+    return S.cosine_neardup_pairs(_tbl(spark, sf_dir, "embeddings"))
+
+
+# dedup buckets: 8 planes/table (selectivity — see cosine_neardup_pairs)
+_EB = "\nUNION ALL\n".join(
+    f"  SELECT id, v, {t} AS tbl, {_lsh_bucket_sql('v', t, num_planes=8)} AS bucket FROM e"
+    for t in range(_LSH_TABLES)
+)
+
+SQL_NEARDUP_COSINE = f"""
+WITH e AS (
+  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
+), eb AS (
+{_EB}
+), cand AS (
+  SELECT DISTINCT a.id AS doc_a, b.id AS doc_b
+  FROM eb a JOIN eb b USING (tbl, bucket)
+  WHERE a.id < b.id
+), s AS (
+  SELECT doc_a, doc_b,
+         round(list_dot_product(ea.v, eb2.v) /
+               (sqrt(list_dot_product(ea.v, ea.v)) *
+                sqrt(list_dot_product(eb2.v, eb2.v))), 4) AS sim4
+  FROM cand
+  JOIN e ea ON ea.id = doc_a
+  JOIN e eb2 ON eb2.id = doc_b
+)
+SELECT doc_a, doc_b, sim4 FROM s WHERE sim4 >= 0.35
+"""
+
+
+def q_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality gate (Rae et al. 2021 §A1.1 rules, integer
+    arithmetic so the oracle matches exactly): word-count bounds, mean word
+    length in [3, 10] (via cross-multiplication), symbol-to-word ratio
+    < 10%, and >=2 English stopwords.  Emits the per-rule flags so a
+    pipeline can audit WHY a document was dropped."""
+    docs = _tbl(spark, sf_dir, "documents")
+    t = F.col("text")
+    n_words = T.word_count(t)
+    word_chars = F.length(F.regexp_replace(F.lower(t), "[^a-z0-9]+", ""))
+    n_symbols = F.regexp_count(t, F.lit(r"[#$%^~]"))
+    n_stop = T.stopword_count(t, "en")
+    out = docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        word_chars.cast("long").alias("word_chars"),
+        n_symbols.cast("long").alias("n_symbols"),
+        n_stop.alias("n_stop"),
+    )
+    return out.select(
+        "doc_id",
+        ((F.col("n_words") >= 50) & (F.col("n_words") <= 100000)).alias("wc_ok"),
+        (
+            (F.col("word_chars") >= 3 * F.col("n_words"))
+            & (F.col("word_chars") <= 10 * F.col("n_words"))
+        ).alias("mwl_ok"),
+        (10 * F.col("n_symbols") < F.col("n_words")).alias("sym_ok"),
+        (F.col("n_stop") >= 2).alias("stop_ok"),
+        (
+            (F.col("n_words") >= 50)
+            & (F.col("n_words") <= 100000)
+            & (F.col("word_chars") >= 3 * F.col("n_words"))
+            & (F.col("word_chars") <= 10 * F.col("n_words"))
+            & (10 * F.col("n_symbols") < F.col("n_words"))
+            & (F.col("n_stop") >= 2)
+        ).alias("keep"),
+    )
+
+
+SQL_QUALITY_GOPHER = """
+WITH m AS (
+  SELECT doc_id,
+         len(regexp_extract_all(lower(text), '[a-z0-9]+'))::BIGINT AS n_words,
+         length(regexp_replace(lower(text), '[^a-z0-9]+', '', 'g'))::BIGINT AS word_chars,
+         len(regexp_extract_all(text, '[#$%^~]'))::BIGINT AS n_symbols,
+         len(regexp_extract_all(lower(text), '\\b(the|a|and|of|to|is|in)\\b'))::BIGINT AS n_stop
+  FROM documents
+)
+SELECT doc_id,
+       (n_words >= 50 AND n_words <= 100000) AS wc_ok,
+       (word_chars >= 3 * n_words AND word_chars <= 10 * n_words) AS mwl_ok,
+       (10 * n_symbols < n_words) AS sym_ok,
+       (n_stop >= 2) AS stop_ok,
+       (n_words >= 50 AND n_words <= 100000
+        AND word_chars >= 3 * n_words AND word_chars <= 10 * n_words
+        AND 10 * n_symbols < n_words AND n_stop >= 2) AS keep
+FROM m
+"""
+
+
+def q_training_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cut (prompt, completion) training samples from transcripts: one
+    sample per assistant turn, prompt = up to 3 preceding turns rendered as
+    "role: text" lines — the sample-cutting shape for agent-transcript
+    training data, fully SQL-checkable."""
+    from pyspark.sql.window import Window
+
+    transcripts = documents_as_transcripts(_tbl(spark, sf_dir, "documents"))
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(-3, -1)
+    )
+    rendered = F.concat_ws(": ", F.col("role"), F.col("text"))
+    with_ctx = transcripts.select(
+        "conv_id",
+        F.col("turn_idx").cast("long").alias("turn_idx"),
+        "role",
+        "text",
+        F.array_join(F.collect_list(rendered).over(w), "\n").alias("prompt"),
+    )
+    return with_ctx.where(F.col("role") == "assistant").select(
+        "conv_id",
+        "turn_idx",
+        "prompt",
+        F.col("text").alias("completion"),
+        F.length("prompt").cast("long").alias("prompt_chars"),
+    )
+
+
+SQL_TRAINING_SAMPLES = f"""
+WITH t AS (
+{_CONV_SQL_BASE}
+), ctx AS (
+  SELECT conv_id, turn_idx::BIGINT AS turn_idx, role, text,
+         coalesce(
+           array_to_string(
+             list(role || ': ' || text) OVER (
+               PARTITION BY conv_id ORDER BY turn_idx
+               ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING),
+             chr(10)),
+           '') AS prompt
+  FROM t
+)
+SELECT conv_id, turn_idx, prompt, text AS completion,
+       length(prompt)::BIGINT AS prompt_chars
+FROM ctx WHERE role = 'assistant'
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1101,6 +1247,9 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "conv_dedup": (q_conv_dedup, SQL_CONV_DEDUP),
     "conv_role_stats": (q_conv_role_stats, SQL_CONV_ROLE_STATS),
     "ann_recall_lsh": (q_ann_recall_lsh, SQL_ANN_RECALL_LSH),
+    "neardup_cosine": (q_neardup_cosine, SQL_NEARDUP_COSINE),
+    "quality_gopher": (q_quality_gopher, SQL_QUALITY_GOPHER),
+    "training_samples": (q_training_samples, SQL_TRAINING_SAMPLES),
     "eval_metrics": (q_eval_metrics, None),
     "eval_variant_mix": (q_eval_variant_mix, None),
     # SQL-checked
