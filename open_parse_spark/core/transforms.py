@@ -30,9 +30,15 @@ from open_parse_spark.core.model import (
 Transform = Callable[[List[Node]], List[Node]]
 
 
+from operator import attrgetter
+
+_reading_order = attrgetter("reading_order")
+
+
 def _sorted_nodes(nodes: List[Node]) -> List[Node]:
-    """Stable reading-order sort (ingest.py:37-44 uses Python's stable sort)."""
-    return sorted(nodes, key=lambda n: n.reading_order)
+    """Stable reading-order sort (ingest.py:37-44 uses Python's stable sort).
+    attrgetter key: this runs before every pipeline step on every turn."""
+    return sorted(nodes, key=_reading_order)
 
 
 # ---------------------------------------------------------------------------

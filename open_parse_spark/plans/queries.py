@@ -64,10 +64,12 @@ def q_parse_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: full extraction pipeline over transcripts derived from the
     documents table; one row per content node in stable order."""
     transcripts = documents_as_transcripts(_tbl(spark, sf_dir, "documents"))
-    nodes = parse_transcripts(transcripts, repartition_for_skew=False)
-    return nodes.select(
-        "conv_id", "turn_idx", "node_idx", "text", "tokens"
-    ).orderBy("conv_id", "turn_idx", "node_idx")
+    nodes = parse_transcripts(
+        transcripts,
+        repartition_for_skew=False,
+        output_columns=["conv_id", "turn_idx", "node_idx", "text", "tokens"],
+    )
+    return nodes.orderBy("conv_id", "turn_idx", "node_idx")
 
 
 def q_parse_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -75,7 +77,11 @@ def q_parse_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     from open_parse_spark.spark.pipeline import parse_quality_metrics
 
     transcripts = documents_as_transcripts(_tbl(spark, sf_dir, "documents"))
-    nodes = parse_transcripts(transcripts, repartition_for_skew=False)
+    nodes = parse_transcripts(
+        transcripts,
+        repartition_for_skew=False,
+        output_columns=["conv_id", "turn_idx", "node_idx", "tokens"],
+    )
     return parse_quality_metrics(nodes)
 
 
@@ -283,7 +289,11 @@ def q_export_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
     from open_parse_spark.plans.exports import nodes_with_relations
 
     transcripts = documents_as_transcripts(_tbl(spark, sf_dir, "documents"))
-    nodes = parse_transcripts(transcripts, repartition_for_skew=False)
+    nodes = parse_transcripts(
+        transcripts,
+        repartition_for_skew=False,
+        output_columns=["conv_id", "turn_idx", "node_idx", "text"],
+    )
     return nodes_with_relations(nodes).select(
         "conv_id", "turn_idx", "node_idx", "node_id", "prev_id", "next_id", "parent_id"
     )
@@ -857,7 +867,11 @@ def q_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     from open_parse_spark.plans.evals import extraction_metrics
 
     transcripts = documents_as_transcripts(_tbl(spark, sf_dir, "documents"))
-    nodes = parse_transcripts(transcripts, repartition_for_skew=False)
+    nodes = parse_transcripts(
+        transcripts,
+        repartition_for_skew=False,
+        output_columns=["conv_id", "turn_idx", "node_idx", "tokens"],
+    )
     return extraction_metrics(nodes)
 
 
@@ -865,7 +879,11 @@ def q_eval_variant_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from open_parse_spark.plans.evals import variant_mix
 
     transcripts = documents_as_transcripts(_tbl(spark, sf_dir, "documents"))
-    nodes = parse_transcripts(transcripts, repartition_for_skew=False)
+    nodes = parse_transcripts(
+        transcripts,
+        repartition_for_skew=False,
+        output_columns=["conv_id", "turn_idx", "node_idx", "variant", "tokens"],
+    )
     return variant_mix(nodes)
 
 
@@ -874,7 +892,11 @@ def q_conversation_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     from open_parse_spark.operators.conversations import conversation_assembly
 
     transcripts = documents_as_transcripts(_tbl(spark, sf_dir, "documents"))
-    nodes = parse_transcripts(transcripts, repartition_for_skew=False)
+    nodes = parse_transcripts(
+        transcripts,
+        repartition_for_skew=False,
+        output_columns=["conv_id", "turn_idx", "node_idx", "text", "tokens"],
+    )
     return conversation_assembly(nodes)
 
 
@@ -976,7 +998,11 @@ def q_export_relations_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     from open_parse_spark.plans.exports import nodes_with_relations
 
     transcripts = documents_as_transcripts(_tbl(spark, sf_dir, "documents"))
-    nodes = parse_transcripts(transcripts, repartition_for_skew=False)
+    nodes = parse_transcripts(
+        transcripts,
+        repartition_for_skew=False,
+        output_columns=["conv_id", "turn_idx", "node_idx", "text"],
+    )
     rel = nodes_with_relations(nodes)
     per_doc = rel.groupBy("conv_id", "turn_idx").agg(
         (F.sum(F.col("prev_id").isNull().cast("int")) == 1).alias("one_head"),

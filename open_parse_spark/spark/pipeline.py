@@ -190,6 +190,65 @@ def restore_split_conf(spark) -> None:
 _MISSING = object()
 
 
+# narrow-output support: projection pruning cannot reach INSIDE a Python
+# UDF, so a query that selects 5 scalar columns would still pay for building
+# + Arrow-shipping the nested bbox/elements columns.  parse_transcripts
+# accepts output_columns and the UDF then never constructs the heavy fields.
+_REQUIRED_OUTPUT = ("conv_id", "turn_idx", "node_idx")
+
+# per-column (value-from-node, error-row-default) extractors; node accessors
+# pull straight from Node, skipping node_to_record's nested dict building
+_NODE_GETTERS = {
+    "text": (lambda n: n.text, None),
+    "tokens": (lambda n: n.tokens, 0),
+    "variant": (lambda n: sorted(n.variant), ["error"]),
+    "num_pages": (lambda n: n.num_pages, 0),
+    "start_page": (lambda n: n.start_page, 0),
+    "end_page": (lambda n: n.end_page, 0),
+    "parse_error": (lambda n: None, None),
+}
+
+
+def _make_narrow_partition(columns):
+    """mapInPandas body producing only ``columns`` (all scalar/simple)."""
+    extra = [c for c in columns if c not in _REQUIRED_OUTPUT]
+    getters = [(c, *_NODE_GETTERS[c]) for c in extra]
+
+    def _narrow_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from open_parse_spark.core.parse import parse_turn
+
+        for pdf in batches:
+            out = {c: [] for c in columns}
+            for conv_id, turn_idx, text, tool in zip(
+                pdf["conv_id"].values,
+                pdf["turn_idx"].values,
+                pdf["text"].values,
+                pdf["tool"].values,
+            ):
+                try:
+                    nodes = parse_turn(text, tool)
+                except Exception as exc:  # same lineage contract as full path
+                    out["conv_id"].append(conv_id)
+                    out["turn_idx"].append(int(turn_idx))
+                    out["node_idx"].append(-1)
+                    for col, _get, default in getters:
+                        out[col].append(
+                            f"{type(exc).__name__}: {exc}"[:500]
+                            if col == "parse_error"
+                            else default
+                        )
+                    continue
+                for i, node in enumerate(nodes):
+                    out["conv_id"].append(conv_id)
+                    out["turn_idx"].append(int(turn_idx))
+                    out["node_idx"].append(i)
+                    for col, get, _default in getters:
+                        out[col].append(get(node))
+            yield pd.DataFrame(out)
+
+    return _narrow_partition
+
+
 def _input_file_bytes(df: DataFrame) -> int:
     """Total input bytes from file metadata (no data is read)."""
     import os
@@ -261,6 +320,7 @@ def parse_transcripts(
     target_bytes_per_partition: int = 64 * 1024 * 1024,
     histogram_sample: Optional[float] = 0.01,
     drop_errors: bool = False,
+    output_columns: Optional[list] = None,
 ) -> DataFrame:
     """transcripts (conv_id, turn_idx, role, text, tool, ts) -> node rows.
 
@@ -340,7 +400,25 @@ def parse_transcripts(
                 "_salt", F.xxhash64(F.col("conv_id"), F.col("turn_idx"))
             )
             pruned = salted.repartition(planned, "_salt").drop("_salt")
-    nodes = pruned.mapInPandas(_parse_partition, schema=NODE_SCHEMA)
+    if output_columns is None:
+        nodes = pruned.mapInPandas(_parse_partition, schema=NODE_SCHEMA)
+    else:
+        cols = list(output_columns)
+        missing = [c for c in _REQUIRED_OUTPUT if c not in cols]
+        if missing:
+            raise ValueError(f"output_columns must include {missing}")
+        bad = [
+            c
+            for c in cols
+            if c not in _REQUIRED_OUTPUT and c not in _NODE_GETTERS
+        ]
+        if bad:
+            raise ValueError(
+                f"unsupported narrow output columns {bad} — nested columns "
+                "(bbox, elements) require the full schema (output_columns=None)"
+            )
+        schema = StructType([NODE_SCHEMA[c] for c in cols])
+        nodes = pruned.mapInPandas(_make_narrow_partition(tuple(cols)), schema=schema)
     if drop_errors:
         nodes = nodes.where(F.col("node_idx") >= 0)
     return nodes

@@ -169,3 +169,66 @@ def test_small_input_auto_mode_leaves_conf_untouched(spark, transcripts_df):
     prior = spark.conf.get("spark.sql.files.maxPartitionBytes")
     parse_transcripts(transcripts_df, repartition_for_skew="auto").count()
     assert spark.conf.get("spark.sql.files.maxPartitionBytes") == prior
+
+
+def test_narrow_output_columns_equal_full(spark, transcripts_df):
+    """output_columns produces exactly the full pipeline's values for the
+    requested columns (same parse, skipped construction of the rest)."""
+    cols = ["conv_id", "turn_idx", "node_idx", "text", "tokens"]
+    full = (
+        parse_transcripts(transcripts_df, repartition_for_skew=False)
+        .select(*cols)
+        .orderBy(*cols)
+        .toPandas()
+    )
+    narrow = (
+        parse_transcripts(
+            transcripts_df, repartition_for_skew=False, output_columns=cols
+        )
+        .orderBy(*cols)
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(full, narrow)
+
+
+def test_narrow_output_columns_validation(spark, transcripts_df):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        parse_transcripts(transcripts_df, output_columns=["conv_id", "text"])
+    with _pytest.raises(ValueError):
+        parse_transcripts(
+            transcripts_df,
+            output_columns=["conv_id", "turn_idx", "node_idx", "bbox"],
+        )
+
+
+def test_narrow_output_error_rows(spark):
+    """Narrow path keeps the node_idx=-1 error-row lineage contract."""
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["c1"],
+            "turn_idx": pd.array([0], dtype="int32"),
+            "role": ["user"],
+            "text": ['{"pages": [{"elements": [{"kind": "bogus-kind"}]}]}'],
+            "tool": [""],
+            "ts": pd.to_datetime(["2020-01-01"]),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    out = parse_transcripts(
+        df,
+        repartition_for_skew=False,
+        output_columns=["conv_id", "turn_idx", "node_idx", "parse_error"],
+    ).toPandas()
+    # either the payload parses (no error rows) or errors carry lineage;
+    # force an error via a non-dict payload root instead
+    pdf2 = pdf.assign(text=['{"pages": 42}'])
+    out2 = parse_transcripts(
+        spark.createDataFrame(pdf2),
+        repartition_for_skew=False,
+        output_columns=["conv_id", "turn_idx", "node_idx", "parse_error"],
+    ).toPandas()
+    errs = pd.concat([out[out.node_idx == -1], out2[out2.node_idx == -1]])
+    if len(errs):
+        assert errs["parse_error"].notna().all()
