@@ -109,18 +109,42 @@ def ngram_jaccard_pairs(
     )
 
 
+def _hash_long(col, hasher: str):
+    """String -> long hash.  ``xxhash64`` is the scale default (fastest JVM
+    hash).  ``md5`` parses the first 15 hex chars (60 bits) to a long — it
+    exists so the DuckDB correctness oracle can reproduce the hash exactly
+    (``('0x'||substr(md5(x),1,15))::BIGINT``); xxhash64 has no DuckDB
+    equivalent.  Both are pure codegen expressions."""
+    if hasher == "xxhash64":
+        return F.xxhash64(col)
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def _seeded_hash_long(j: int, col, hasher: str):
+    """(seed j, long col) -> long.  md5 path hashes 'j:<decimal>' so the
+    oracle can mirror it with string concatenation."""
+    if hasher == "xxhash64":
+        return F.xxhash64(F.lit(j), col)
+    return _hash_long(
+        F.concat_ws(":", F.lit(j).cast("string"), col.cast("string")), hasher
+    )
+
+
 def doc_gram_hashes(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
+    hasher: str = "xxhash64",
 ) -> DataFrame:
-    """(id, grams: array<long>) — distinct word-n-gram xxhash64 values per
+    """(id, grams: array<long>) — distinct word-n-gram hash values per
     doc, built entirely JVM-side (no explode, no shuffle)."""
     return df.select(
         F.col(id_col).alias("id"),
         F.array_distinct(
-            F.transform(word_ngrams(F.col(text_col), n), lambda g: F.xxhash64(g))
+            F.transform(
+                word_ngrams(F.col(text_col), n), lambda g: _hash_long(g, hasher)
+            )
         ).alias("grams"),
     )
 
@@ -131,16 +155,25 @@ def minhash_signatures(
     id_col: str = "doc_id",
     n: int = 3,
     num_hashes: int = 32,
+    hasher: str = "xxhash64",
 ) -> DataFrame:
-    """MinHash signatures: sig_j = min over n-grams of xxhash64(j, gram_hash).
+    """MinHash signatures: sig_j = min over n-grams of hash(j, gram_hash).
 
     Computed as ``array_min(transform(grams, ...))`` over the per-doc gram
-    array — zero shuffles, one scan, everything inside whole-stage codegen."""
-    grams = doc_gram_hashes(df, text_col, id_col, n)
+    array — zero shuffles, one scan, everything inside whole-stage codegen.
+
+    NOTE the seed must be bound via a closure factory producing a
+    SINGLE-parameter lambda: ``F.transform`` treats a two-parameter lambda as
+    ``(element, index)``, so the round-1 ``lambda g, j=j`` had its seed
+    silently shadowed by the array index — every signature came out
+    identical per doc (degenerate LSH).  Caught by the DuckDB oracle."""
+    grams = doc_gram_hashes(df, text_col, id_col, n, hasher)
+
+    def _sig(j: int):
+        return lambda g: _seeded_hash_long(j, g, hasher)
+
     sig_cols = [
-        F.array_min(
-            F.transform(F.col("grams"), lambda g, j=j: F.xxhash64(F.lit(j), g))
-        ).alias(f"sig_{j}")
+        F.array_min(F.transform(F.col("grams"), _sig(j))).alias(f"sig_{j}")
         for j in range(num_hashes)
     ]
     return grams.where(F.size("grams") > 0).select("id", *sig_cols)
@@ -153,6 +186,7 @@ def minhash_lsh_candidates(
     n: int = 3,
     num_hashes: int = 32,
     bands: int = 8,
+    hasher: str = "xxhash64",
 ) -> DataFrame:
     """LSH candidate pairs: docs sharing any band bucket.
 
@@ -162,13 +196,17 @@ def minhash_lsh_candidates(
     ``bands`` (e.g. 16x2, catch p=0.99 at J=0.5) when the corpus has many
     borderline-similarity pairs - more candidates, same verification."""
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, n, num_hashes)
-    band_cols = [
-        F.xxhash64(
-            *[F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)]
-        ).alias(f"band_{b}")
-        for b in range(bands)
-    ]
+    sigs = minhash_signatures(df, text_col, id_col, n, num_hashes, hasher)
+
+    def _band_bucket(b: int):
+        cols = [F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        if hasher == "xxhash64":
+            return F.xxhash64(*cols)
+        # md5 path: hash the comma-joined decimal signature row so the DuckDB
+        # oracle can mirror it with string_agg(s, ',' ORDER BY j)
+        return _hash_long(F.concat_ws(",", *[c.cast("string") for c in cols]), hasher)
+
+    band_cols = [_band_bucket(b).alias(f"band_{b}") for b in range(bands)]
     banded = sigs.select("id", *band_cols)
     buckets = banded.select(
         "id",
@@ -198,6 +236,7 @@ def minhash_neardup_pairs(
     num: int = 1,
     den: int = 2,
     max_df: int = 50,
+    hasher: str = "xxhash64",
 ) -> DataFrame:
     """MinHash-LSH candidates verified candidate-locally by exact n-gram
     Jaccard.
@@ -205,13 +244,15 @@ def minhash_neardup_pairs(
     The scale path end-to-end: LSH bounds the pair enumeration; verification
     joins only the candidate pairs against per-doc gram-hash arrays and
     computes exact intersection/union via ``array_intersect`` — no quadratic
-    stage anywhere.  Gram hashing (xxhash64) makes the arrays fixed-width
-    longs instead of strings (cheap to shuffle/compare); the 2^-64 collision
-    rate is negligible at any corpus size."""
-    cands = minhash_lsh_candidates(df, text_col, id_col, n)
+    stage anywhere.  Gram hashing (xxhash64 default) makes the arrays
+    fixed-width longs instead of strings (cheap to shuffle/compare); the
+    2^-64 collision rate is negligible at any corpus size.  ``hasher='md5'``
+    swaps in the oracle-reproducible 60-bit md5 hash (same algorithm, ~2x
+    hash cost) so the whole banded-LSH path is value-checkable in DuckDB."""
+    cands = minhash_lsh_candidates(df, text_col, id_col, n, hasher=hasher)
     # df-pruning for verification: drop grams with df > max_df, mirroring
     # ngram_jaccard_pairs (and its oracle) exactly
-    exploded = doc_gram_hashes(df, text_col, id_col, n).select(
+    exploded = doc_gram_hashes(df, text_col, id_col, n, hasher).select(
         "id", F.explode("grams").alias("gh")
     )
     hot_grams = (
@@ -309,24 +350,34 @@ def dedup_keep_list(
     )
 
 
-def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """64-bit SimHash over words: bit_i = sign(sum over words of
-    (+1 if xxhash64(word) bit_i else -1)).  All bit ops JVM-side."""
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hasher: str = "xxhash64",
+) -> DataFrame:
+    """SimHash over words: bit_i = sign(sum over words of
+    (+1 if hash(word) bit_i else -1)).  All bit ops JVM-side.
+
+    64 bits with the xxhash64 default; 60 bits with ``hasher='md5'`` (the
+    oracle-reproducible 15-hex-char parse — 60 bits keeps the value inside a
+    signed BIGINT on both engines)."""
+    n_bits = 64 if hasher == "xxhash64" else 60
     w = df.select(
         F.col(id_col).alias("id"),
         F.explode(words(F.col(text_col))).alias("word"),
-    ).withColumn("h", F.xxhash64("word"))
+    ).withColumn("h", _hash_long(F.col("word"), hasher))
     bit_sums = w.groupBy("id").agg(
         *[
             F.sum(
                 F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1)
                 .otherwise(-1)
             ).alias(f"bs_{i}")
-            for i in range(64)
+            for i in range(n_bits)
         ]
     )
     sim = F.lit(0).cast("long")
-    for i in range(64):
+    for i in range(n_bits):
         sim = sim.bitwiseOR(
             F.when(F.col(f"bs_{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
                 F.lit(0).cast("long")
@@ -336,11 +387,17 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
 
 
 def simhash_candidates(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hasher: str = "xxhash64",
 ) -> DataFrame:
-    """Near-dup candidates: equal 16-bit band of the simhash (<= 3-bit global
-    difference guaranteed caught in at least one band)."""
-    s = simhash(df, text_col, id_col)
+    """Near-dup candidates: equal band of the simhash (4 bands of 16 bits for
+    the 64-bit default, 4 x 15 bits for the 60-bit md5 variant; <= 3-bit
+    global difference guaranteed caught in at least one band)."""
+    band_bits = 16 if hasher == "xxhash64" else 15
+    mask = (1 << band_bits) - 1
+    s = simhash(df, text_col, id_col, hasher)
     bands = s.select(
         "id",
         F.explode(
@@ -348,8 +405,8 @@ def simhash_candidates(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.shiftright(F.col("simhash"), 16 * b)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftright(F.col("simhash"), band_bits * b)
+                        .bitwiseAND(F.lit(mask))
                         .alias("bucket"),
                     )
                     for b in range(4)

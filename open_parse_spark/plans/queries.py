@@ -86,17 +86,23 @@ def q_parse_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup pairs verified by exact Jaccard (scale path)."""
-    return D.minhash_neardup_pairs(_tbl(spark, sf_dir, "documents")).orderBy(
-        "doc_a", "doc_b"
-    )
+    """MinHash-LSH near-dup pairs verified by exact Jaccard.
+
+    Gate variant: ``hasher='md5'`` (60-bit hex-parsed md5) so DuckDB can
+    reproduce every hash — the whole banded-LSH path (signatures, band
+    buckets, candidate join, exact verification) is value-checked.  The
+    library/scale default is xxhash64 (same algorithm, ~2x faster hashing,
+    no SQL twin); bench.py times both."""
+    return D.minhash_neardup_pairs(
+        _tbl(spark, sf_dir, "documents"), hasher="md5"
+    ).orderBy("doc_a", "doc_b")
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash 16-bit-band near-dup candidates."""
-    return D.simhash_candidates(_tbl(spark, sf_dir, "documents")).orderBy(
-        "doc_a", "doc_b"
-    )
+    """SimHash banded near-dup candidates (md5 gate variant, 60-bit)."""
+    return D.simhash_candidates(
+        _tbl(spark, sf_dir, "documents"), hasher="md5"
+    ).orderBy("doc_a", "doc_b")
 
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -663,6 +669,81 @@ WITH RECURSIVE {_JACCARD_CTES}, edges AS (
   SELECT reach.id, e.b FROM reach JOIN edges e ON e.a = reach.r
 )
 SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id
+"""
+
+# MinHash-LSH oracle: reproduces the md5-hasher variant of
+# minhash_neardup_pairs exactly — 60-bit gram hashes, 32 seeded min-hashes,
+# 8 bands x 4 rows (bucket = md5 of the comma-joined signature slice),
+# candidate pairs from the band-bucket self-join, then exact Jaccard
+# verification over df-pruned gram-hash sets (2*inter >= union).
+SQL_DEDUP_MINHASH = """
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents
+), g0 AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, len(ws) - 2),
+                       i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS grams
+  FROM w WHERE len(ws) >= 3
+), ghd AS (
+  SELECT DISTINCT doc_id, ('0x' || substr(md5(gram), 1, 15))::BIGINT AS gh
+  FROM (SELECT doc_id, unnest(grams) AS gram FROM g0)
+), sig AS (
+  SELECT doc_id, j,
+         min(('0x' || substr(md5(j::VARCHAR || ':' || gh::VARCHAR), 1, 15))::BIGINT) AS s
+  FROM ghd CROSS JOIN range(32) r(j)
+  GROUP BY doc_id, j
+), band AS (
+  SELECT doc_id, j // 4 AS band,
+         ('0x' || substr(md5(string_agg(s::VARCHAR, ',' ORDER BY j)), 1, 15))::BIGINT AS bucket
+  FROM sig GROUP BY doc_id, j // 4
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM band a JOIN band b USING (band, bucket)
+  WHERE a.doc_id < b.doc_id
+), hot AS (
+  SELECT gh FROM ghd GROUP BY gh HAVING count(*) > 50
+), gg AS (
+  SELECT doc_id, gh FROM ghd WHERE gh NOT IN (SELECT gh FROM hot)
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM gg GROUP BY doc_id
+), ver AS (
+  SELECT c.doc_a, c.doc_b, count(*)::BIGINT AS inter
+  FROM cand c
+  JOIN gg ga ON ga.doc_id = c.doc_a
+  JOIN gg gb ON gb.doc_id = c.doc_b AND gb.gh = ga.gh
+  GROUP BY 1, 2
+)
+SELECT v.doc_a, v.doc_b, v.inter,
+       (sa.n + sb.n - v.inter)::BIGINT AS uni
+FROM ver v
+JOIN sizes sa ON sa.doc_id = v.doc_a
+JOIN sizes sb ON sb.doc_id = v.doc_b
+WHERE 2 * v.inter >= sa.n + sb.n - v.inter
+"""
+
+# SimHash oracle: 60-bit md5 variant — per-word hash, sign-of-bit-sums,
+# 4 bands x 15 bits, candidates = pairs equal in any band.
+SQL_DEDUP_SIMHASH = """
+WITH wd AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+  FROM documents
+), h AS (
+  SELECT doc_id, ('0x' || substr(md5(word), 1, 15))::BIGINT AS h FROM wd
+), bits AS (
+  SELECT doc_id, i,
+         CASE WHEN sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) > 0
+              THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+  FROM h CROSS JOIN range(60) r(i)
+  GROUP BY doc_id, i
+), sh AS (
+  SELECT doc_id, sum(bit << i)::BIGINT AS simhash FROM bits GROUP BY doc_id
+), band AS (
+  SELECT doc_id, b.b AS band, (simhash >> (15 * b.b)::INT) & 32767 AS bucket
+  FROM sh CROSS JOIN range(4) b(b)
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM band a JOIN band b USING (band, bucket)
+WHERE a.doc_id < b.doc_id
 """
 
 
@@ -1254,8 +1335,8 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     # parse engine (rows-only; byte-equality covered in tests/)
     "parse_flagship": (q_parse_flagship, None),
     "parse_metrics": (q_parse_metrics, None),
-    "dedup_minhash": (q_dedup_minhash, None),
-    "dedup_simhash": (q_dedup_simhash, None),
+    "dedup_minhash": (q_dedup_minhash, SQL_DEDUP_MINHASH),
+    "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
     "ann_ivf": (q_ann_ivf, None),
     "ann_recall": (q_ann_recall, None),
     "parse_semantic": (q_parse_semantic, None),
