@@ -208,6 +208,8 @@ def main() -> None:
         "training_samples",
         "text_quality",
         "lang_id",
+        "pii_scrub",
+        "tfidf_top_terms",
         "op_spatial_anti_join",
         "op_remove_repeated",
         "events_hourly",

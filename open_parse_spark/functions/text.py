@@ -81,6 +81,46 @@ def word_ngrams(col: Column, n: int = 3) -> Column:
     return F.array_distinct(gram)
 
 
+# PII patterns restricted to the Java-regex / RE2 common subset so the
+# DuckDB oracle matches byte-for-byte (no lookarounds, no possessives)
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"
+IPV4_RE = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+PHONE_RE = "\\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\\b"
+
+
+def pii_counts(col: Column) -> dict:
+    """Per-kind PII match counts (emails, ipv4s, phone-shaped numbers)."""
+    return {
+        "n_emails": F.size(F.regexp_extract_all(col, F.lit(EMAIL_RE), 0)).cast("long"),
+        "n_ips": F.size(F.regexp_extract_all(col, F.lit(IPV4_RE), 0)).cast("long"),
+        "n_phones": F.size(F.regexp_extract_all(col, F.lit(PHONE_RE), 0)).cast("long"),
+    }
+
+
+def scrub_pii(col: Column) -> Column:
+    """Redact emails -> <EMAIL>, phones -> <PHONE>, IPv4s -> <IP>.
+
+    Order matters (emails before phones/IPs so digits inside an address are
+    not re-matched); a single projection of chained ``regexp_replace`` stays
+    inside whole-stage codegen — the 100 TB path is a map-only scan."""
+    out = F.regexp_replace(col, EMAIL_RE, "<EMAIL>")
+    out = F.regexp_replace(out, PHONE_RE, "<PHONE>")
+    return F.regexp_replace(out, IPV4_RE, "<IP>")
+
+
+def hash_bucket(col: Column, buckets: int = 100) -> Column:
+    """Deterministic [0, buckets) bucket from md5 of the column's string form.
+
+    The standard reproducible train/val/test splitter: content-independent,
+    stable across runs/engines/cluster sizes (unlike ``rand()`` or
+    ``monotonically_increasing_id``), and exactly reproducible in ANSI SQL
+    via ``('0x'||substr(md5(x),1,15))::BIGINT % buckets``."""
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast("long")
+        % buckets
+    )
+
+
 def lang_scores(col: Column) -> list:
     """(lang, score) pairs for the stopword lang-ID heuristic."""
     return [(lang, stopword_count(col, lang)) for lang in STOPWORDS]

@@ -747,6 +747,108 @@ WHERE a.doc_id < b.doc_id
 """
 
 
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over the corpus: emails/phones/IPv4s replaced with
+    typed placeholders, with per-kind match counts.  Map-only scan — no
+    shuffle at any scale."""
+    docs = _tbl(spark, sf_dir, "documents")
+    t = F.col("text")
+    counts = T.pii_counts(t)
+    return docs.select(
+        "doc_id",
+        T.scrub_pii(t).alias("clean_text"),
+        counts["n_emails"].alias("n_emails"),
+        counts["n_ips"].alias("n_ips"),
+        counts["n_phones"].alias("n_phones"),
+    )
+
+
+SQL_PII_SCRUB = """
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+', '<EMAIL>', 'g'),
+           '\\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\\b', '<PHONE>', 'g'),
+         '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IP>', 'g'
+       ) AS clean_text,
+       len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+'))::BIGINT AS n_emails,
+       len(regexp_extract_all(text, '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b'))::BIGINT AS n_ips,
+       len(regexp_extract_all(text, '\\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\\b'))::BIGINT AS n_phones
+FROM documents
+"""
+
+
+def q_doc_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic reproducible train/val/test split by md5 hash bucket
+    (content-independent, stable across runs/engines/cluster sizes)."""
+    docs = _tbl(spark, sf_dir, "documents")
+    b = T.hash_bucket(F.col("doc_id"), 100)
+    return docs.select(
+        "doc_id",
+        b.alias("bucket"),
+        F.when(b < 80, "train").when(b < 90, "val").otherwise("test").alias("split"),
+    )
+
+
+SQL_DOC_SPLIT = """
+WITH b AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 AS bucket
+  FROM documents
+)
+SELECT doc_id, bucket,
+       CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+"""
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by integer tf-idf score
+    (tf * 1e6 div doc-frequency — integer arithmetic so the oracle is
+    bit-exact; ties broken lexicographically).
+
+    Scale shape: two shuffles (doc-term counts, term doc-frequencies) plus a
+    per-doc window — all keys uniform; the term join is the classic
+    map-side-combinable aggregation."""
+    docs = _tbl(spark, sf_dir, "documents")
+    w = docs.select("doc_id", F.explode(T.words(F.col("text"))).alias("term"))
+    tf = w.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_docs"))
+    scored = tf.join(dfreq, "term").withColumn(
+        "score", F.expr("(tf * 1000000L) DIV df_docs")
+    )
+    from pyspark.sql.window import Window
+
+    win = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(win).cast("long"))
+        .where(F.col("rank") <= 3)
+        .select("doc_id", "term", "tf", "df_docs", "score", "rank")
+    )
+
+
+SQL_TFIDF_TOP_TERMS = """
+WITH w AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf FROM w GROUP BY 1, 2
+), dfq AS (
+  SELECT term, count(*)::BIGINT AS df_docs FROM tf GROUP BY 1
+), scored AS (
+  SELECT doc_id, tf.term, tf, df_docs, ((tf * 1000000) // df_docs)::BIGINT AS score
+  FROM tf JOIN dfq USING (term)
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC)::BIGINT AS rank
+  FROM scored
+)
+SELECT doc_id, term, tf, df_docs, score, rank FROM ranked WHERE rank <= 3
+"""
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _tbl(spark, sf_dir, "documents")
     t = F.col("text")
@@ -1372,6 +1474,9 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "dedup_fingerprint": (q_dedup_fingerprint, SQL_DEDUP_FINGERPRINT),
     "neardup_jaccard": (q_neardup_jaccard, SQL_NEARDUP_JACCARD),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
+    "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
+    "doc_split": (q_doc_split, SQL_DOC_SPLIT),
+    "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
     "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),

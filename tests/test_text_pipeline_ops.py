@@ -1,0 +1,103 @@
+"""Tests for the corpus-pipeline text ops added on top of the reference
+surface (SURVEY.md training-data section): PII scrubbing, deterministic
+hash splits, and integer tf-idf.
+
+The synthetic documents corpus contains zero PII matches, so the driver's
+DuckDB oracle only proves the no-op path for pii_scrub; these tests pin the
+positive path — crafted PII strings — against both expected literals AND
+DuckDB's regexp engine, so the Java-regex/RE2 dialect parity the oracle
+relies on is actually exercised.
+"""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from open_parse_spark.functions import text as T
+
+PII_CASES = [
+    # (input, expected scrub, n_emails, n_ips, n_phones)
+    ("contact bob.smith+spam@example.co.uk today", "contact <EMAIL> today", 1, 0, 0),
+    ("server at 10.0.255.3 rebooted", "server at <IP> rebooted", 0, 1, 0),
+    ("call 555-867-5309 or 555.867.5309", "call <PHONE> or <PHONE>", 0, 0, 2),
+    (
+        "a@b.io via 192.168.1.1 ph 123 456 7890",
+        "<EMAIL> via <IP> ph <PHONE>",
+        1,
+        1,
+        1,
+    ),
+    ("no pii here at all", "no pii here at all", 0, 0, 0),
+    # order pinning: the email is scrubbed before its digits can match, but
+    # counts are raw per-pattern matches on the original text (phone counts)
+    ("mail 555-123-4567@example.com now", "mail <EMAIL> now", 1, 0, 1),
+    # version strings are the known ipv4 false-positive class — document it
+    ("pip install pkg==1.2.3.4 ok", "pip install pkg==<IP> ok", 0, 1, 0),
+]
+
+
+@pytest.fixture(scope="module")
+def pii_rows(spark):
+    df = spark.createDataFrame([(i, t) for i, (t, *_ ) in enumerate(PII_CASES)], ["i", "text"])
+    counts = T.pii_counts(F.col("text"))
+    out = df.select(
+        "i",
+        T.scrub_pii(F.col("text")).alias("clean"),
+        counts["n_emails"].alias("e"),
+        counts["n_ips"].alias("ip"),
+        counts["n_phones"].alias("p"),
+    ).toPandas().set_index("i").sort_index()
+    return out
+
+
+def test_scrub_pii_expected_literals(pii_rows):
+    for i, (_, want, e, ip, p) in enumerate(PII_CASES):
+        assert pii_rows.loc[i, "clean"] == want
+        assert (pii_rows.loc[i, "e"], pii_rows.loc[i, "ip"], pii_rows.loc[i, "p"]) == (e, ip, p)
+
+
+def test_scrub_pii_duckdb_dialect_parity(pii_rows):
+    """The same chained regexp_replace in DuckDB (RE2) must produce the same
+    bytes as Spark (Java regex) for every crafted case."""
+    con = duckdb.connect()
+    for i, (text, _, _, _, _) in enumerate(PII_CASES):
+        got = con.execute(
+            """
+            SELECT regexp_replace(regexp_replace(regexp_replace($1,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+', '<EMAIL>', 'g'),
+              '\\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\\b', '<PHONE>', 'g'),
+              '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IP>', 'g')
+            """,
+            [text],
+        ).fetchone()[0]
+        assert got == pii_rows.loc[i, "clean"], (text, got, pii_rows.loc[i, "clean"])
+
+
+def test_hash_bucket_deterministic_and_uniform(spark):
+    df = spark.range(0, 10_000).select(F.col("id"))
+    b = df.select(T.hash_bucket(F.col("id"), 100).alias("b")).toPandas()["b"]
+    assert b.min() >= 0 and b.max() <= 99
+    # same input -> same bucket (rerun)
+    b2 = df.select(T.hash_bucket(F.col("id"), 100).alias("b")).toPandas()["b"]
+    assert (b == b2).all()
+    # roughly uniform: every bucket within 3x of expectation
+    counts = b.value_counts()
+    assert len(counts) == 100
+    assert counts.max() < 300 and counts.min() > 33
+
+
+def test_tfidf_rank_is_deterministic(spark, tmp_path):
+    """Rare distinctive terms outrank common ones; ties break by term."""
+    rows = [
+        (1, "zebra zebra common common common"),
+        (2, "common common common yak yak"),
+        (3, "common plain words only here"),
+    ]
+    p = str(tmp_path / "documents.parquet")
+    spark.createDataFrame(rows, ["doc_id", "text"]).write.parquet(p)
+    from open_parse_spark.plans.queries import q_tfidf_top_terms
+
+    out = q_tfidf_top_terms(spark, str(tmp_path)).toPandas()
+    top1 = out[out["rank"] == 1].set_index("doc_id")["term"]
+    assert top1.loc[1] == "zebra"
+    assert top1.loc[2] == "yak"
