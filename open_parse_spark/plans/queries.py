@@ -595,6 +595,56 @@ FROM s GROUP BY user_id, session_no
 """
 
 
+def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase event matched to the user's most recent
+    click at or before it (union + one-shuffle window; see operators/joins).
+    Timestamps exported as strings for hash stability; the matched click's
+    event_id pins row identity exactly."""
+    from open_parse_spark.operators.joins import asof_join
+
+    ev = _tbl(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    out = asof_join(
+        purchases, clicks, key="user_id", ts="ts", tie="event_id",
+        right_cols=("ts", "event_id"), prefix="click_",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts_s"),
+        "click_event_id",
+    )
+
+
+SQL_EVENTS_ASOF_JOIN = """
+WITH u AS (
+  SELECT user_id, ts, event_id, 0 AS side, ts AS r_ts, event_id AS r_event_id
+  FROM events WHERE event_type = 'click'
+  UNION ALL
+  SELECT user_id, ts, event_id, 1 AS side, NULL, NULL
+  FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT *,
+         last_value(r_ts IGNORE NULLS) OVER w AS click_ts,
+         last_value(r_event_id IGNORE NULLS) OVER w AS click_event_id
+  FROM u
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, side, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+       strftime(click_ts, '%Y-%m-%d %H:%M:%S') AS click_ts_s,
+       click_event_id
+FROM c WHERE side = 1
+"""
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.exact_duplicates(_tbl(spark, sf_dir, "documents"))
 
@@ -1470,6 +1520,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "op_remove_metadata": (q_op_remove_metadata, SQL_OP_REMOVE_METADATA),
     "op_lead_neighbor": (q_op_lead_neighbor, SQL_OP_LEAD_NEIGHBOR),
     "events_sessionize": (q_events_sessionize, SQL_EVENTS_SESSIONIZE),
+    "events_asof_join": (q_events_asof_join, SQL_EVENTS_ASOF_JOIN),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_fingerprint": (q_dedup_fingerprint, SQL_DEDUP_FINGERPRINT),
     "neardup_jaccard": (q_neardup_jaccard, SQL_NEARDUP_JACCARD),
