@@ -166,6 +166,31 @@ def streaming_sessionize(
     )
 
 
+def streaming_dedup_exact(
+    spark: SparkSession,
+    input_dir: str,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming twin of ``operators/dedup.py:exact_duplicates``'s keep-one
+    side: emit the first turn seen for each distinct text hash, with state
+    BOUNDED by the watermark via ``dropDuplicatesWithinWatermark`` — the
+    dedup-state entry for a hash is dropped once the watermark passes it, so
+    state size tracks the duplication window, not corpus cardinality (an
+    unbounded ``dropDuplicates`` would OOM at 10^12 turns).
+
+    At 100 TB this assumes duplicates arrive within the watermark of each
+    other (true for crawl/ingest bursts); cross-window dups are left to the
+    batch dedup pass — the standard lambda split."""
+    stream = (
+        spark.readStream.schema(TRANSCRIPT_DDL)
+        .parquet(input_dir)
+        .select("conv_id", "turn_idx", "ts", F.md5("text").alias("text_hash"))
+    )
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["text_hash"]
+    )
+
+
 def run_stream_to_memory(
     stream_df: DataFrame, query_name: str, mode: str = "append"
 ):

@@ -63,6 +63,25 @@ def test_streaming_events_hourly(spark, tmp_path):
     assert set(got.columns) == {"hour", "event_type", "n", "min_value", "max_value"}
 
 
+def test_streaming_dedup_exact_matches_batch(spark, stream_dir):
+    """Streaming dedup emits exactly one row per distinct text hash, and the
+    emitted hash set equals the batch distinct set on the same files."""
+    from open_parse_spark.streaming.jobs import run_stream_to_memory, streaming_dedup_exact
+
+    stream = streaming_dedup_exact(spark, stream_dir)
+    q = run_stream_to_memory(stream, "dedup_stream")
+    q.awaitTermination(120)
+    got = spark.table("dedup_stream").toPandas()
+    assert got["text_hash"].is_unique
+    batch = (
+        spark.read.parquet(stream_dir)
+        .selectExpr("md5(text) AS text_hash")
+        .distinct()
+        .toPandas()
+    )
+    assert set(got["text_hash"]) == set(batch["text_hash"])
+
+
 def test_multimodal_features_spark(spark):
     from open_parse_spark.operators.multimodal import (
         extract_media_features,
