@@ -120,14 +120,33 @@ def _hash_long(col, hasher: str):
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
+# Carter-Wegman parameters for the md5 path's seeded hash family:
+# sig_j(gh) = (A_j * (gh & (2^30-1)) + B_j) mod (2^31-1).  One md5 per gram
+# (the base hash), then the 32 seeded hashes are pure integer arithmetic —
+# reproducible in ANSI SQL and ~30x cheaper than 32 md5 calls per gram.
+# A_j/B_j are fixed odd constants derived from a splitmix64-style sequence.
+_CW_MOD = (1 << 31) - 1  # Mersenne prime 2^31-1
+_CW_MASK = (1 << 30) - 1
+
+
+def _cw_params(j: int) -> tuple:
+    x = (j + 1) * 0x9E3779B97F4A7C15 % (1 << 64)
+    x ^= x >> 30
+    x = x * 0xBF58476D1CE4E5B9 % (1 << 64)
+    x ^= x >> 27
+    a = (x % (_CW_MOD - 1)) + 1  # 1 .. p-1, never 0
+    b = (x >> 32) % _CW_MOD
+    return a, b
+
+
 def _seeded_hash_long(j: int, col, hasher: str):
-    """(seed j, long col) -> long.  md5 path hashes 'j:<decimal>' so the
-    oracle can mirror it with string concatenation."""
+    """(seed j, long col) -> long.  md5 path uses a Carter-Wegman affine
+    family over the md5 base hash so the oracle can mirror it with plain
+    integer arithmetic (no per-seed md5)."""
     if hasher == "xxhash64":
         return F.xxhash64(F.lit(j), col)
-    return _hash_long(
-        F.concat_ws(":", F.lit(j).cast("string"), col.cast("string")), hasher
-    )
+    a, b = _cw_params(j)
+    return (F.lit(a) * col.bitwiseAND(F.lit(_CW_MASK)) + F.lit(b)) % F.lit(_CW_MOD)
 
 
 def doc_gram_hashes(
@@ -202,9 +221,12 @@ def minhash_lsh_candidates(
         cols = [F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)]
         if hasher == "xxhash64":
             return F.xxhash64(*cols)
-        # md5 path: hash the comma-joined decimal signature row so the DuckDB
-        # oracle can mirror it with string_agg(s, ',' ORDER BY j)
-        return _hash_long(F.concat_ws(",", *[c.cast("string") for c in cols]), hasher)
+        # md5 path: polynomial fold of the signature slice (sigs < 2^31, so
+        # ((s0*31+s1)*31+s2)*31+s3 < 2^46 — exact in BIGINT on both engines)
+        acc = cols[0]
+        for c in cols[1:]:
+            acc = acc * F.lit(31) + c
+        return acc
 
     band_cols = [_band_bucket(b).alias(f"band_{b}") for b in range(bands)]
     banded = sigs.select("id", *band_cols)

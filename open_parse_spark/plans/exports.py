@@ -71,6 +71,33 @@ def documents_assembly(nodes: DataFrame) -> DataFrame:
     )
 
 
+def nodes_bbox_debug(nodes: DataFrame, prefix_len: int = 60) -> DataFrame:
+    """K3 human-inspectable bbox debug table: one row per (node, page bbox)
+    with a text prefix — the tabular stand-in for the reference's
+    bbox-annotated PDF sink (``pdf.py:152-227``, which draws rectangles and
+    asserts nothing).  Map-only explode; write it next to the node table and
+    any page's layout is one filtered scan away."""
+    return nodes.select(
+        "conv_id",
+        "turn_idx",
+        "node_idx",
+        F.explode("bbox").alias("b"),
+        F.substring("text", 1, prefix_len).alias("text_prefix"),
+        "tokens",
+    ).select(
+        "conv_id",
+        "turn_idx",
+        "node_idx",
+        F.col("b.page").alias("page"),
+        F.round("b.x0", 2).alias("x0"),
+        F.round("b.y0", 2).alias("y0"),
+        F.round("b.x1", 2).alias("x1"),
+        F.round("b.y1", 2).alias("y1"),
+        "text_prefix",
+        "tokens",
+    )
+
+
 def render_markdown(
     variants: List[str],
     texts: List[str],

@@ -72,6 +72,18 @@ def q_parse_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nodes.orderBy("conv_id", "turn_idx", "node_idx")
 
 
+def q_parse_bbox_debug(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3 debug sink: one row per (node, page bbox) with a text prefix —
+    the inspectable stand-in for the reference's bbox-annotated PDF export."""
+    from open_parse_spark.plans.exports import nodes_bbox_debug
+
+    transcripts = documents_as_transcripts(_tbl(spark, sf_dir, "documents"))
+    # bbox is a nested column: the narrow-output fast path can't carry it,
+    # so this query takes the full node schema (debug sink, not a hot path)
+    nodes = parse_transcripts(transcripts, repartition_for_skew=False)
+    return nodes_bbox_debug(nodes).orderBy("conv_id", "turn_idx", "node_idx", "page")
+
+
 def q_parse_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-conversation extraction metrics (lineage companion)."""
     from open_parse_spark.spark.pipeline import parse_quality_metrics
@@ -722,11 +734,17 @@ SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id
 """
 
 # MinHash-LSH oracle: reproduces the md5-hasher variant of
-# minhash_neardup_pairs exactly — 60-bit gram hashes, 32 seeded min-hashes,
-# 8 bands x 4 rows (bucket = md5 of the comma-joined signature slice),
-# candidate pairs from the band-bucket self-join, then exact Jaccard
+# minhash_neardup_pairs exactly — 60-bit md5 gram hashes, then 32 seeded
+# min-hashes from the Carter-Wegman affine family over the base hash
+# (one md5 per gram; the seeds are the _cw_params constants embedded below),
+# 8 bands x 4 rows (bucket = base-31 polynomial fold of the signature
+# slice), candidate pairs from the band-bucket self-join, then exact Jaccard
 # verification over df-pruned gram-hash sets (2*inter >= union).
-SQL_DEDUP_MINHASH = """
+_CW_VALUES = ", ".join(
+    "({}, {}, {})".format(j, *D._cw_params(j)) for j in range(32)
+)
+
+SQL_DEDUP_MINHASH = f"""
 WITH w AS (
   SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents
 ), g0 AS (
@@ -737,14 +755,16 @@ WITH w AS (
 ), ghd AS (
   SELECT DISTINCT doc_id, ('0x' || substr(md5(gram), 1, 15))::BIGINT AS gh
   FROM (SELECT doc_id, unnest(grams) AS gram FROM g0)
+), params(j, a, b) AS (
+  VALUES {_CW_VALUES}
 ), sig AS (
-  SELECT doc_id, j,
-         min(('0x' || substr(md5(j::VARCHAR || ':' || gh::VARCHAR), 1, 15))::BIGINT) AS s
-  FROM ghd CROSS JOIN range(32) r(j)
+  SELECT doc_id, j, min((a * (gh & 1073741823) + b) % 2147483647) AS s
+  FROM ghd CROSS JOIN params
   GROUP BY doc_id, j
 ), band AS (
   SELECT doc_id, j // 4 AS band,
-         ('0x' || substr(md5(string_agg(s::VARCHAR, ',' ORDER BY j)), 1, 15))::BIGINT AS bucket
+         sum(s * CASE j % 4 WHEN 0 THEN 29791 WHEN 1 THEN 961
+                            WHEN 2 THEN 31 ELSE 1 END)::BIGINT AS bucket
   FROM sig GROUP BY doc_id, j // 4
 ), cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -1487,6 +1507,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     # parse engine (rows-only; byte-equality covered in tests/)
     "parse_flagship": (q_parse_flagship, None),
     "parse_metrics": (q_parse_metrics, None),
+    "parse_bbox_debug": (q_parse_bbox_debug, None),
     "dedup_minhash": (q_dedup_minhash, SQL_DEDUP_MINHASH),
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
     "ann_ivf": (q_ann_ivf, None),
