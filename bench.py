@@ -22,7 +22,11 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
 BENCH_DIR = os.path.join(REPO, "BENCH")
-BENCH_TRANSCRIPTS = os.path.join(BENCH_DIR, "bench_transcripts.parquet")
+# a directory of 32 part files: a single file caps the zero-shuffle scan at
+# its row-group count (~1.5 waves at 32 cores) and makes wide walls ragged;
+# real corpora are many files (PLANS.md bench-scale caveat)
+BENCH_TRANSCRIPTS = os.path.join(BENCH_DIR, "bench_transcripts")
+BENCH_FILES = int(os.environ.get("BENCH_FILES", "32"))
 BENCH_CONVS = int(os.environ.get("BENCH_CONVS", "2000"))
 BENCH_AVG_TURNS = int(os.environ.get("BENCH_AVG_TURNS", "50"))
 
@@ -35,6 +39,8 @@ def _ensure_bench_transcripts() -> str:
         t0 = time.monotonic()
         df = write_transcripts_parquet(
             BENCH_TRANSCRIPTS,
+            n_files=BENCH_FILES,
+            row_group_size=512,
             n_convs=BENCH_CONVS,
             avg_turns=BENCH_AVG_TURNS,
             seed=42,

@@ -284,20 +284,41 @@ def gen_transcripts(
     return df
 
 
-def write_transcripts_parquet(path: str, **kwargs) -> pd.DataFrame:
+def write_transcripts_parquet(
+    path: str, n_files: int = 1, row_group_size: int = 2048, **kwargs
+) -> pd.DataFrame:
+    """Write the synthetic transcripts as parquet.
+
+    ``n_files > 1`` writes a directory of that many part files (rows dealt
+    round-robin so every file carries the same conv-size mix).  A single
+    file caps the zero-shuffle parse at its row-group count — ~1.5 task
+    waves at 32 cores for the 41 MB bench corpus — which makes wide-
+    parallelism walls straggler-ragged; real corpora are thousands of
+    files, so the bench input should be too (see PLANS.md bench-scale
+    caveat)."""
+    import os
+
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     df = gen_transcripts(**kwargs)
-    table = pa.Table.from_pandas(df, preserve_index=False)
     # Spark cannot read TIMESTAMP(NANOS); coerce to microseconds.
     # Small row groups -> many input splits -> parallel scan (a single giant
     # row group would serialize the whole first stage).
-    pq.write_table(
-        table,
-        path,
+    write_opts = dict(
         coerce_timestamps="us",
         allow_truncated_timestamps=True,
-        row_group_size=2048,
+        row_group_size=row_group_size,
     )
+    if n_files <= 1:
+        pq.write_table(pa.Table.from_pandas(df, preserve_index=False), path, **write_opts)
+        return df
+    os.makedirs(path, exist_ok=True)
+    for i in range(n_files):
+        part = df.iloc[i::n_files]
+        pq.write_table(
+            pa.Table.from_pandas(part, preserve_index=False),
+            os.path.join(path, f"part-{i:05d}.parquet"),
+            **write_opts,
+        )
     return df

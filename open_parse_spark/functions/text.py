@@ -57,7 +57,8 @@ def normalized_text(col: Column) -> Column:
 
 def fingerprint(col: Column) -> Column:
     """Document fingerprint = md5 of normalized text (near-dup by
-    normalization; the rolling-hash variant lives in operators/dedup.py)."""
+    normalization; the winnowing rolling-hash variant is
+    ``operators/dedup.py:winnow_fingerprints``)."""
     return F.md5(normalized_text(col))
 
 

@@ -372,6 +372,50 @@ def dedup_keep_list(
     )
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    window: int = 16,
+    hasher: str = "md5",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken): hash
+    every character k-gram, then keep the minimum hash of each ``window``
+    consecutive k-grams — any shared substring of length >= k + window - 1
+    is guaranteed to contribute at least one common fingerprint, with the
+    stored set ~1/window the size of the full k-gram set.
+
+    Returns (id, fp) — one row per distinct fingerprint per doc; near-dup
+    candidates are then an equi-join on fp (same shape as the gram join).
+
+    All JVM-side: one projection builds the k-gram hash array, a second
+    takes windowed minima (``slice``+``array_min`` per position — O(n*w)
+    expression work; an O(n) monotonic-deque variant needs imperative code
+    and isn't worth leaving codegen for at w=16).  ``hasher='md5'`` default
+    because the DuckDB oracle mirrors it exactly; pass 'xxhash64' for the
+    cheaper scale hash."""
+    khashes = df.where(F.length(text_col) >= k).select(
+        F.col(id_col).alias("id"),
+        F.transform(
+            F.sequence(F.lit(1), F.length(text_col) - (k - 1)),
+            lambda i: _hash_long(F.col(text_col).substr(i, F.lit(k)), hasher),
+        ).alias("kh"),
+    )
+    fps = khashes.where(F.size("kh") >= window).select(
+        "id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("kh") - (window - 1)),
+                    lambda i: F.array_min(F.slice(F.col("kh"), i, window)),
+                )
+            )
+        ).alias("fp"),
+    )
+    return fps
+
+
 def simhash(
     df: DataFrame,
     text_col: str = "text",

@@ -607,6 +607,29 @@ FROM s GROUP BY user_id, session_no
 """
 
 
+def q_dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing rolling-hash fingerprints: (doc_id, fp) — the classic
+    substring-plagiarism/dedup primitive (shared >=k+w-1 substring =>
+    shared fingerprint, guaranteed)."""
+    return D.winnow_fingerprints(
+        _tbl(spark, sf_dir, "documents"), k=8, window=16, hasher="md5"
+    ).select(F.col("id").alias("doc_id"), "fp")
+
+
+SQL_DEDUP_WINNOW = """
+WITH kh AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, len(text) - 7),
+                        i -> ('0x' || substr(md5(substr(text, i, 8)), 1, 15))::BIGINT) AS kh
+  FROM documents WHERE len(text) >= 8
+)
+SELECT doc_id, unnest(list_distinct(
+         list_transform(generate_series(1, len(kh) - 15),
+                        i -> list_min(kh[i:i+15])))) AS fp
+FROM kh WHERE len(kh) >= 16
+"""
+
+
 def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each purchase event matched to the user's most recent
     click at or before it (union + one-shuffle window; see operators/joins).
@@ -1542,6 +1565,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "op_lead_neighbor": (q_op_lead_neighbor, SQL_OP_LEAD_NEIGHBOR),
     "events_sessionize": (q_events_sessionize, SQL_EVENTS_SESSIONIZE),
     "events_asof_join": (q_events_asof_join, SQL_EVENTS_ASOF_JOIN),
+    "dedup_winnow": (q_dedup_winnow, SQL_DEDUP_WINNOW),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_fingerprint": (q_dedup_fingerprint, SQL_DEDUP_FINGERPRINT),
     "neardup_jaccard": (q_neardup_jaccard, SQL_NEARDUP_JACCARD),

@@ -356,16 +356,21 @@ def parse_transcripts(
     elif repartition_for_skew == "auto":
         n_splits = pruned.rdd.getNumPartitions()
         total_bytes = 0
-        if n_splits < parallelism:
+        # target ~3 waves per core, not just >=1: per-task parse time varies
+        # with payload mix, so a 1-2 wave schedule is straggler-ragged; at
+        # 100 TB natural splits vastly exceed this and the conf is untouched
+        if n_splits < 3 * parallelism:
             # re-split the scan from file-size metadata (no data scan):
             # target ~3 waves per core, >=1 MiB splits
             total_bytes = _input_file_bytes(df)
             if total_bytes > 0:
                 split_bytes = max(
-                    1 << 20,
+                    1 << 18,  # 256 KiB floor: a split below one row group is
+                    # harmless (empty splits schedule in microseconds), and
+                    # small inputs need sub-MiB splits to reach 3 waves
                     min(
                         target_bytes_per_partition,
-                        total_bytes // (3 * parallelism) or 1 << 20,
+                        total_bytes // (3 * parallelism) or 1 << 18,
                     ),
                 )
                 # session-level conf (it must still be set at execution

@@ -86,6 +86,31 @@ def test_hash_bucket_deterministic_and_uniform(spark):
     assert counts.max() < 300 and counts.min() > 33
 
 
+def test_winnow_guarantee(spark):
+    """Winnowing's core guarantee: two docs sharing a substring of length
+    >= k + window - 1 (= 23 chars at k=8, w=16) MUST share at least one
+    fingerprint; unrelated docs (random hex) share none."""
+    import hashlib
+    from open_parse_spark.operators.dedup import winnow_fingerprints
+
+    shared = "the quick brown fox jumps over the lazy dog near the river bank"
+    noise_a = hashlib.sha256(b"a").hexdigest() * 3
+    noise_b = hashlib.sha256(b"b").hexdigest() * 3
+    rows = [
+        (1, noise_a + shared + noise_b),
+        (2, noise_b + shared + noise_a),
+        (3, hashlib.sha256(b"c").hexdigest() * 5),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    fps = winnow_fingerprints(df, id_col="doc_id").toPandas()
+    by_doc = {d: set(g["fp"]) for d, g in fps.groupby("id")}
+    assert by_doc[1] & by_doc[2], "shared substring must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3]) and not (by_doc[2] & by_doc[3])
+    # density: stored set is ~1/window of the k-gram count
+    n_grams = len(rows[0][1]) - 7
+    assert len(by_doc[1]) < n_grams / 4
+
+
 def test_tfidf_rank_is_deterministic(spark, tmp_path):
     """Rare distinctive terms outrank common ones; ties break by term."""
     rows = [
