@@ -395,14 +395,17 @@ def winnow_fingerprints(
     and isn't worth leaving codegen for at w=16).  ``hasher='md5'`` default
     because the DuckDB oracle mirrors it exactly; pass 'xxhash64' for the
     cheaper scale hash."""
-    khashes = df.where(F.length(text_col) >= k).select(
+    # filter on text length, not size(kh): a size(kh) predicate gets pushed
+    # into the scan and re-evaluates the whole k-gram transform per row in
+    # the filter (doubling the hash work); length >= k+w-1 is equivalent
+    khashes = df.where(F.length(text_col) >= k + window - 1).select(
         F.col(id_col).alias("id"),
         F.transform(
             F.sequence(F.lit(1), F.length(text_col) - (k - 1)),
             lambda i: _hash_long(F.col(text_col).substr(i, F.lit(k)), hasher),
         ).alias("kh"),
     )
-    fps = khashes.where(F.size("kh") >= window).select(
+    fps = khashes.select(
         "id",
         F.explode(
             F.array_distinct(

@@ -907,14 +907,17 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc window — all keys uniform; the term join is the classic
     map-side-combinable aggregation."""
     docs = _tbl(spark, sf_dir, "documents")
-    w = docs.select("doc_id", F.explode(T.words(F.col("text"))).alias("term"))
-    tf = w.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_docs"))
-    scored = tf.join(dfreq, "term").withColumn(
-        "score", F.expr("(tf * 1000000L) DIV df_docs")
-    )
     from pyspark.sql.window import Window
 
+    w = docs.select("doc_id", F.explode(T.words(F.col("text"))).alias("term"))
+    tf = w.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # doc frequency as a window count over the tf relation, NOT a
+    # groupBy+self-join: the join formulation re-computes the whole doc-term
+    # aggregation subtree (two scans, 5 exchanges); this is one scan and 3
+    # exchanges (doc-term agg, term window, per-doc top-k window)
+    scored = tf.withColumn(
+        "df_docs", F.count(F.lit(1)).over(Window.partitionBy("term"))
+    ).withColumn("score", F.expr("(tf * 1000000L) DIV df_docs"))
     win = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
     return (
         scored.withColumn("rank", F.row_number().over(win).cast("long"))
