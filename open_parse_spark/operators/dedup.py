@@ -80,13 +80,23 @@ def ngram_jaccard_pairs(
     num: int = 1,
     den: int = 2,
     max_df: int = 50,
+    materialize: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs with word-n-gram Jaccard >= num/den.
 
     Integer-only comparison ``den*inter >= num*union`` keeps the oracle
     bit-exact.  Returns (doc_a, doc_b, inter, uni).
-    """
+
+    ``materialize`` localCheckpoints the pruned gram relation: the plan uses
+    it four times (self-join both sides, sizes, df-pruning) and Catalyst
+    re-computes the regex n-gram expansion per use otherwise (8 scans; 2.7x
+    slower measured at sf0.1).  Trade-off: executor-local storage, so an
+    executor loss fails the job instead of recomputing — at cluster scale
+    either accept job-level retry (batch semantics) or stage the grams to a
+    table; pass False for the pure-declarative plan."""
     grams = _doc_ngrams(df, text_col, id_col, n, max_df)
+    if materialize:
+        grams = grams.localCheckpoint(eager=False)
     sizes = grams.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams"))
     pairs = (
         grams.alias("a")
@@ -175,6 +185,7 @@ def minhash_signatures(
     n: int = 3,
     num_hashes: int = 32,
     hasher: str = "xxhash64",
+    grams_df: DataFrame = None,
 ) -> DataFrame:
     """MinHash signatures: sig_j = min over n-grams of hash(j, gram_hash).
 
@@ -185,8 +196,15 @@ def minhash_signatures(
     SINGLE-parameter lambda: ``F.transform`` treats a two-parameter lambda as
     ``(element, index)``, so the round-1 ``lambda g, j=j`` had its seed
     silently shadowed by the array index — every signature came out
-    identical per doc (degenerate LSH).  Caught by the DuckDB oracle."""
-    grams = doc_gram_hashes(df, text_col, id_col, n, hasher)
+    identical per doc (degenerate LSH).  Caught by the DuckDB oracle.
+
+    ``grams_df`` lets callers pass a precomputed (id, grams) relation so the
+    gram hashing is shared with other consumers (see minhash_neardup_pairs)."""
+    grams = (
+        grams_df
+        if grams_df is not None
+        else doc_gram_hashes(df, text_col, id_col, n, hasher)
+    )
 
     def _sig(j: int):
         return lambda g: _seeded_hash_long(j, g, hasher)
@@ -206,6 +224,7 @@ def minhash_lsh_candidates(
     num_hashes: int = 32,
     bands: int = 8,
     hasher: str = "xxhash64",
+    grams_df: DataFrame = None,
 ) -> DataFrame:
     """LSH candidate pairs: docs sharing any band bucket.
 
@@ -215,7 +234,7 @@ def minhash_lsh_candidates(
     ``bands`` (e.g. 16x2, catch p=0.99 at J=0.5) when the corpus has many
     borderline-similarity pairs - more candidates, same verification."""
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, n, num_hashes, hasher)
+    sigs = minhash_signatures(df, text_col, id_col, n, num_hashes, hasher, grams_df)
 
     def _band_bucket(b: int):
         cols = [F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)]
@@ -259,6 +278,7 @@ def minhash_neardup_pairs(
     den: int = 2,
     max_df: int = 50,
     hasher: str = "xxhash64",
+    materialize: bool = True,
 ) -> DataFrame:
     """MinHash-LSH candidates verified candidate-locally by exact n-gram
     Jaccard.
@@ -270,13 +290,19 @@ def minhash_neardup_pairs(
     fixed-width longs instead of strings (cheap to shuffle/compare); the
     2^-64 collision rate is negligible at any corpus size.  ``hasher='md5'``
     swaps in the oracle-reproducible 60-bit md5 hash (same algorithm, ~2x
-    hash cost) so the whole banded-LSH path is value-checkable in DuckDB."""
-    cands = minhash_lsh_candidates(df, text_col, id_col, n, hasher=hasher)
+    hash cost) so the whole banded-LSH path is value-checkable in DuckDB.
+
+    ``materialize`` localCheckpoints the per-doc gram-hash arrays so the
+    signature path and the verification path share ONE gram computation
+    (otherwise Catalyst re-derives the regex n-gram expansion per consumer —
+    6 scans; see ngram_jaccard_pairs for the trade-off)."""
+    ghs = doc_gram_hashes(df, text_col, id_col, n, hasher)
+    if materialize:
+        ghs = ghs.localCheckpoint(eager=False)
+    cands = minhash_lsh_candidates(df, text_col, id_col, n, hasher=hasher, grams_df=ghs)
     # df-pruning for verification: drop grams with df > max_df, mirroring
     # ngram_jaccard_pairs (and its oracle) exactly
-    exploded = doc_gram_hashes(df, text_col, id_col, n, hasher).select(
-        "id", F.explode("grams").alias("gh")
-    )
+    exploded = ghs.select("id", F.explode("grams").alias("gh"))
     hot_grams = (
         exploded.groupBy("gh")
         .agg(F.count(F.lit(1)).alias("df_count"))
