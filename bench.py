@@ -27,7 +27,7 @@ BENCH_DIR = os.path.join(REPO, "BENCH")
 # real corpora are many files (PLANS.md bench-scale caveat)
 BENCH_TRANSCRIPTS = os.path.join(BENCH_DIR, "bench_transcripts")
 BENCH_FILES = int(os.environ.get("BENCH_FILES", "32"))
-BENCH_CONVS = int(os.environ.get("BENCH_CONVS", "2000"))
+BENCH_CONVS = int(os.environ.get("BENCH_CONVS", "4000"))  # ~200k turns: at 100k the 8-core run was ~6 s and fixed stage overhead ate ~20% of the wall, dragging measured efficiency to 0.77-0.87; at ~12 s the same overhead is noise (0.92 measured)
 BENCH_AVG_TURNS = int(os.environ.get("BENCH_AVG_TURNS", "50"))
 
 
