@@ -17,6 +17,17 @@ Decoding mirrors the reference's extraction stages:
 from __future__ import annotations
 
 import json
+
+try:  # orjson: ~5x faster loads; byte-identical parse trees for our
+    # payload grammar (objects/arrays/strings/numbers/bools) — json is the
+    # fallback so the env dependency stays soft
+    import orjson
+
+    def _json_loads(s):
+        return orjson.loads(s)
+
+except ImportError:  # pragma: no cover
+    _json_loads = json.loads
 from typing import Any, Dict, List, Optional
 
 from open_parse_spark.core.model import (
@@ -260,7 +271,7 @@ def decode_payload(text: Optional[str], tool: Optional[str]) -> List[Element]:
         stripped = payload.lstrip()
         if stripped.startswith("{"):
             try:
-                obj = json.loads(payload)
+                obj = _json_loads(payload)
             except (ValueError, TypeError):
                 obj = None
             if isinstance(obj, dict) and "pages" in obj:
