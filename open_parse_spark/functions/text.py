@@ -13,9 +13,18 @@ from __future__ import annotations
 
 from pyspark.sql import Column, functions as F
 
-WORD_RE = "[a-z0-9]+"
+# Dialect-safe regex subset (verified cross-engine in
+# tests/test_dialect_parity.py): explicit ASCII classes only.  Shorthands
+# diverge — RE2's \s excludes vertical tab (Java's includes it), so \s/\w
+# never appear in oracle-mirrored expressions.  Case handling is
+# extract-ASCII-runs-THEN-lowercase: Java lower('İ') emits i + a combining
+# dot (splitting [a-z0-9]+ runs) while utf8proc's doesn't, so lowering
+# before extraction diverges on non-ASCII uppercase; lowering the extracted
+# ASCII runs is engine-identical (and equal to the old formulation on pure
+# ASCII text).
+WORD_RE = "[A-Za-z0-9]+"
 TOKEN_RE = "[A-Za-z0-9]+"
-PUNCT_RE = "[^\\w\\s]"
+PUNCT_RE = "[^A-Za-z0-9_ \\t\\n\\x0B\\f\\r]"
 
 # tiny per-language stopword sets (deterministic lang-ID heuristic)
 STOPWORDS = {
@@ -27,8 +36,11 @@ STOPWORDS = {
 
 
 def words(col: Column) -> Column:
-    """Lower-cased word array (empty strings filtered)."""
-    return F.regexp_extract_all(F.lower(col), F.lit(WORD_RE), 0)
+    """Lower-cased ASCII word-run array (extract, then lower — see the
+    dialect note above)."""
+    return F.transform(
+        F.regexp_extract_all(col, F.lit(WORD_RE), 0), lambda w: F.lower(w)
+    )
 
 
 def token_count(col: Column) -> Column:
@@ -45,14 +57,17 @@ def punct_count(col: Column) -> Column:
 
 
 def stopword_count(col: Column, lang: str = "en") -> Column:
-    pat = "\\b(" + "|".join(STOPWORDS[lang]) + ")\\b"
-    return F.size(F.regexp_extract_all(F.lower(col), F.lit(pat), 0)).cast("long")
+    # (?i) on the RAW text instead of lower()-then-match: Java lower() can
+    # split/merge runs on non-ASCII uppers (İ), which shifts \b boundaries
+    # differently per engine; case-insensitive ASCII match is identical
+    pat = "(?i)\\b(" + "|".join(STOPWORDS[lang]) + ")\\b"
+    return F.size(F.regexp_extract_all(col, F.lit(pat), 0)).cast("long")
 
 
 def normalized_text(col: Column) -> Column:
-    """Normalization for fingerprinting: lower, collapse non-alnum runs to a
-    single space, trim."""
-    return F.trim(F.regexp_replace(F.lower(col), "[^a-z0-9]+", " "))
+    """Normalization for fingerprinting: collapse non-ASCII-alnum runs to a
+    single space, trim, THEN lower (engine-identical; see dialect note)."""
+    return F.lower(F.trim(F.regexp_replace(col, "[^A-Za-z0-9]+", " ")))
 
 
 def fingerprint(col: Column) -> Column:

@@ -695,7 +695,7 @@ def q_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_DEDUP_FINGERPRINT = """
-SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp,
+SELECT md5(lower(trim(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g')))) AS fp,
        count(*) AS dup_count, min(doc_id) AS keep_id
 FROM documents
 GROUP BY 1
@@ -711,7 +711,7 @@ def q_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # CTE chain shared by the jaccard-pairs oracle and the connected-components
 # oracle (which runs a recursive reachability walk over the same pairs)
 _JACCARD_CTES = """w AS (
-  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents
+  SELECT doc_id, list_transform(regexp_extract_all(text, '[A-Za-z0-9]+'), w -> lower(w)) AS ws FROM documents
 ), g0 AS (
   SELECT doc_id,
          list_distinct(list_transform(generate_series(1, len(ws) - 2),
@@ -769,7 +769,7 @@ _CW_VALUES = ", ".join(
 
 SQL_DEDUP_MINHASH = f"""
 WITH w AS (
-  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents
+  SELECT doc_id, list_transform(regexp_extract_all(text, '[A-Za-z0-9]+'), w -> lower(w)) AS ws FROM documents
 ), g0 AS (
   SELECT doc_id,
          list_distinct(list_transform(generate_series(1, len(ws) - 2),
@@ -818,7 +818,7 @@ WHERE 2 * v.inter >= sa.n + sb.n - v.inter
 # 4 bands x 15 bits, candidates = pairs equal in any band.
 SQL_DEDUP_SIMHASH = """
 WITH wd AS (
-  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+  SELECT doc_id, unnest(list_transform(regexp_extract_all(text, '[A-Za-z0-9]+'), w -> lower(w))) AS word
   FROM documents
 ), h AS (
   SELECT doc_id, ('0x' || substr(md5(word), 1, 15))::BIGINT AS h FROM wd
@@ -928,7 +928,7 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_TFIDF_TOP_TERMS = """
 WITH w AS (
-  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  SELECT doc_id, unnest(list_transform(regexp_extract_all(text, '[A-Za-z0-9]+'), w -> lower(w))) AS term
   FROM documents
 ), tf AS (
   SELECT doc_id, term, count(*)::BIGINT AS tf FROM w GROUP BY 1, 2
@@ -959,10 +959,10 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_TEXT_QUALITY = """
 SELECT doc_id,
-       len(regexp_extract_all(lower(text), '[a-z0-9]+'))::BIGINT AS n_words,
+       len(list_transform(regexp_extract_all(text, '[A-Za-z0-9]+'), w -> lower(w)))::BIGINT AS n_words,
        len(regexp_extract_all(text, '[A-Za-z0-9]+'))::BIGINT AS n_tokens,
-       len(regexp_extract_all(text, '[^\\w\\s]'))::BIGINT AS n_punct,
-       len(regexp_extract_all(lower(text), '\\b(the|a|and|of|to|is|in)\\b'))::BIGINT AS n_stop_en
+       len(regexp_extract_all(text, '[^A-Za-z0-9_ \\t\\n\\x0B\\f\\r]'))::BIGINT AS n_punct,
+       len(regexp_extract_all(text, '(?i)\\b(the|a|and|of|to|is|in)\\b'))::BIGINT AS n_stop_en
 FROM documents
 """
 
@@ -983,7 +983,7 @@ SQL_LANG_ID = (
     "WITH scores AS (\n"
     + "\nUNION ALL\n".join(
         f"  SELECT doc_id, '{lang}' AS lang, "
-        f"len(regexp_extract_all(lower(text), '{pat}'))::BIGINT AS score FROM documents"
+        f"len(regexp_extract_all(text, '(?i){pat}'))::BIGINT AS score FROM documents"
         for lang, pat in sorted(_STOP_SQL.items())
     )
     + "\n)\nSELECT doc_id, lang AS pred_lang FROM ("
@@ -1117,7 +1117,7 @@ def q_training_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _LANG_SCORE_SQL = "\nUNION ALL\n".join(
     f"  SELECT doc_id, '{lang}' AS lang, "
-    f"len(regexp_extract_all(lower(text), '{pat}'))::BIGINT AS score FROM documents"
+    f"len(regexp_extract_all(text, '(?i){pat}'))::BIGINT AS score FROM documents"
     for lang, pat in sorted(_STOP_SQL.items())
 )
 
@@ -1424,7 +1424,9 @@ def q_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _tbl(spark, sf_dir, "documents")
     t = F.col("text")
     n_words = T.word_count(t)
-    word_chars = F.length(F.regexp_replace(F.lower(t), "[^a-z0-9]+", ""))
+    # strip on RAW text (Java lower('İ') adds a combining char, changing
+    # length vs DuckDB's lower — dialect note in functions/text.py)
+    word_chars = F.length(F.regexp_replace(t, "[^A-Za-z0-9]+", ""))
     n_symbols = F.regexp_count(t, F.lit(r"[#$%^~]"))
     n_stop = T.stopword_count(t, "en")
     out = docs.select(
@@ -1457,10 +1459,10 @@ def q_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_QUALITY_GOPHER = """
 WITH m AS (
   SELECT doc_id,
-         len(regexp_extract_all(lower(text), '[a-z0-9]+'))::BIGINT AS n_words,
-         length(regexp_replace(lower(text), '[^a-z0-9]+', '', 'g'))::BIGINT AS word_chars,
+         len(list_transform(regexp_extract_all(text, '[A-Za-z0-9]+'), w -> lower(w)))::BIGINT AS n_words,
+         length(regexp_replace(text, '[^A-Za-z0-9]+', '', 'g'))::BIGINT AS word_chars,
          len(regexp_extract_all(text, '[#$%^~]'))::BIGINT AS n_symbols,
-         len(regexp_extract_all(lower(text), '\\b(the|a|and|of|to|is|in)\\b'))::BIGINT AS n_stop
+         len(regexp_extract_all(text, '(?i)\\b(the|a|and|of|to|is|in)\\b'))::BIGINT AS n_stop
   FROM documents
 )
 SELECT doc_id,
