@@ -471,24 +471,32 @@ class Node:
             min(e.bbox.x0 for e in self.elements),
         )
 
+    @cached_property
+    def _bbox_flat(self) -> list:
+        """(page, x0, y0, x1, y1) tuples — overlap checks run ~665k times per
+        10k turns in the greedy spatial merge, and tuple unpacking beats five
+        dataclass attribute loads per bbox there."""
+        return [(b.page, b.x0, b.y0, b.x1, b.y1) for b in self.bbox]
+
     def overlaps(
         self, other: "Node", x_error_margin: float = 0.0, y_error_margin: float = 0.0
     ) -> bool:
         """Any-page-pair margin overlap; reference schemas.py:600-622."""
-        for bbox in self.bbox:
-            for other_bbox in other.bbox:
-                if other_bbox.page != bbox.page:
+        for page, x0, y0, x1, y1 in self._bbox_flat:
+            for opage, ox0, oy0, ox1, oy1 in other._bbox_flat:
+                if opage != page:
                     continue
-                x_overlap = not (
-                    bbox.x0 - x_error_margin > other_bbox.x1 + x_error_margin
-                    or other_bbox.x0 - x_error_margin > bbox.x1 + x_error_margin
-                )
-                y_overlap = not (
-                    bbox.y0 - y_error_margin > other_bbox.y1 + y_error_margin
-                    or other_bbox.y0 - y_error_margin > bbox.y1 + y_error_margin
-                )
-                if x_overlap and y_overlap:
-                    return True
+                if (
+                    x0 - x_error_margin > ox1 + x_error_margin
+                    or ox0 - x_error_margin > x1 + x_error_margin
+                ):
+                    continue
+                if (
+                    y0 - y_error_margin > oy1 + y_error_margin
+                    or oy0 - y_error_margin > y1 + y_error_margin
+                ):
+                    continue
+                return True
         return False
 
     def __lt__(self, other: "Node") -> bool:
