@@ -7,7 +7,7 @@ Usage (cluster):
               --checkpoint <dir> [--n-buckets 256] [--buckets-per-wave 16]
 
 Local smoke:
-    python -m open_parse_spark.cli parse --input /root/repo/BENCH/bench_transcripts.parquet \\
+    python -m open_parse_spark.cli parse --input /root/repo/BENCH/bench_transcripts \\
         --output /tmp/nodes --checkpoint /tmp/ckpt --n-buckets 8
 """
 
@@ -36,6 +36,25 @@ def main(argv=None) -> int:
     sp.add_argument("--output", required=True)
     sp.add_argument("--checkpoint", required=True)
     sp.add_argument("--master", default=None)
+
+    dp = sub.add_parser(
+        "dedup", help="near-duplicate pairs + keep list over a documents table"
+    )
+    dp.add_argument("--input", required=True, help="parquet with (doc_id, text)")
+    dp.add_argument("--output", required=True, help="output dir (pairs/, keep/)")
+    dp.add_argument(
+        "--method", choices=["minhash", "jaccard", "simhash", "exact"],
+        default="minhash",
+    )
+    dp.add_argument("--master", default=None)
+
+    qp = sub.add_parser(
+        "quality", help="per-document quality/PII/lang-id columns"
+    )
+    qp.add_argument("--input", required=True, help="parquet with (doc_id, text)")
+    qp.add_argument("--output", required=True)
+    qp.add_argument("--scrub-pii", action="store_true")
+    qp.add_argument("--master", default=None)
 
     args = p.parse_args(argv)
 
@@ -76,6 +95,51 @@ def main(argv=None) -> int:
             .start()
         )
         q.awaitTermination()
+        return 0
+
+    if args.cmd == "dedup":
+        from open_parse_spark.operators import dedup as D
+
+        docs = spark.read.parquet(args.input)
+        if args.method == "exact":
+            D.exact_duplicates(docs).write.mode("overwrite").parquet(
+                f"{args.output}/groups"
+            )
+            return 0
+        pairs = {
+            "minhash": D.minhash_neardup_pairs,
+            "jaccard": D.ngram_jaccard_pairs,
+        }.get(args.method)
+        if pairs is None:  # simhash: candidates only (no verification stage)
+            D.simhash_candidates(docs).write.mode("overwrite").parquet(
+                f"{args.output}/pairs"
+            )
+            return 0
+        p = pairs(docs)
+        p.write.mode("overwrite").parquet(f"{args.output}/pairs")
+        D.dedup_keep_list(docs, spark.read.parquet(f"{args.output}/pairs")).write.mode(
+            "overwrite"
+        ).parquet(f"{args.output}/keep")
+        return 0
+
+    if args.cmd == "quality":
+        from pyspark.sql import functions as F
+
+        from open_parse_spark.functions import text as T
+
+        docs = spark.read.parquet(args.input)
+        t = F.col("text")
+        cols = [
+            "doc_id",
+            T.word_count(t).alias("n_words"),
+            T.token_count(t).alias("n_tokens"),
+            T.punct_count(t).alias("n_punct"),
+            T.predict_lang(t).alias("pred_lang"),
+            T.fingerprint(t).alias("fp"),
+        ]
+        if args.scrub_pii:
+            cols.append(T.scrub_pii(t).alias("clean_text"))
+        docs.select(*cols).write.mode("overwrite").parquet(args.output)
         return 0
 
     return 1
