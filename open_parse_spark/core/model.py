@@ -373,11 +373,17 @@ class Node:
 
     @cached_property
     def tokens(self) -> int:
+        if len(self.elements) == 1:
+            return self.elements[0].tokens
         return sum(e.tokens for e in self.elements)
 
     @cached_property
     def bbox(self) -> List[Bbox]:
         """Per-page union in first-seen page order; reference schemas.py:469-497."""
+        if len(self.elements) == 1:
+            # single element: the per-page union IS its (already-validated)
+            # bbox — value-identical to the general fold below
+            return [self.elements[0].bbox]
         elements_by_page: Dict[int, List[Element]] = {}
         for element in self.elements:
             elements_by_page.setdefault(element.bbox.page, []).append(element)
@@ -399,6 +405,8 @@ class Node:
     @cached_property
     def text(self) -> str:
         """Reference: schemas.py:499-524 — element sort + join rules."""
+        if len(self.elements) == 1:
+            return self.elements[0].embed_text
         sorted_elements = sorted(
             self.elements, key=lambda e: (e.page, -e.bbox.y1, e.bbox.x0)
         )
@@ -452,19 +460,28 @@ class Node:
 
     @cached_property
     def num_pages(self) -> int:
+        if len(self.elements) == 1:
+            return 1
         return len({e.bbox.page for e in self.elements})
 
     @cached_property
     def start_page(self) -> int:
+        if len(self.elements) == 1:
+            return self.elements[0].bbox.page
         return min(e.bbox.page for e in self.elements)
 
     @cached_property
     def end_page(self) -> int:
+        if len(self.elements) == 1:
+            return self.elements[0].bbox.page
         return max(e.bbox.page for e in self.elements)
 
     @cached_property
     def reading_order(self) -> Tuple[int, float, float]:
         """Reference: schemas.py:579-598 — (min_page, -min_y0, min_x0)."""
+        if len(self.elements) == 1:
+            b = self.elements[0].bbox
+            return (b.page, -b.y0, b.x0)
         return (
             min(e.bbox.page for e in self.elements),
             -min(e.bbox.y0 for e in self.elements),

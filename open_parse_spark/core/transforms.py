@@ -180,24 +180,29 @@ def combine_nodes_spatially(
 ) -> Transform:
     """Greedy order-dependent clustering; must run sequentially for equality."""
 
+    both_small = criteria == "both_small"
+    either_stub = criteria == "either_stub"
+
     def process(nodes: List[Node]) -> List[Node]:
-        nodes = list(nodes)
         combined_nodes: List[Node] = []
-        while nodes:
-            current_node = nodes.pop(0)
+        for current_node in nodes:
             combined = False
+            # criteria is evaluated before the (expensive) overlap test —
+            # same boolean AND as the reference, short-circuited cheap-first
+            cur_small = both_small and current_node.is_small
+            cur_stub = either_stub and current_node.is_stub
+            if both_small and not cur_small:
+                combined_nodes.append(current_node)
+                continue
             for i, target_node in enumerate(combined_nodes):
-                if criteria == "both_small":
-                    criteria_bool = current_node.is_small and target_node.is_small
-                elif criteria == "either_stub":
-                    criteria_bool = current_node.is_stub or target_node.is_stub
+                if both_small:
+                    criteria_bool = target_node.is_small
+                elif either_stub:
+                    criteria_bool = cur_stub or target_node.is_stub
                 else:
                     criteria_bool = False
-                if (
-                    current_node.overlaps(
-                        target_node, x_error_margin, y_error_margin
-                    )
-                    and criteria_bool
+                if criteria_bool and current_node.overlaps(
+                    target_node, x_error_margin, y_error_margin
                 ):
                     # Node.__add__ == Node(target.elements + current.elements)
                     # (reference basic_transforms.py:319-320) with derived
