@@ -97,6 +97,22 @@ def word_ngrams(col: Column, n: int = 3) -> Column:
     return F.array_distinct(gram)
 
 
+def word_ngrams_all(col: Column, n: int = 3) -> Column:
+    """ALL word n-grams (non-distinct, in order) as an array column.
+
+    Same zip_with construction as ``word_ngrams`` (see its docstring for why
+    not transform+sequence) without the final dedup — repetition metrics need
+    occurrence counts, not the distinct gram set."""
+    w = words(col)
+    big = 1 << 30
+    gram = w
+    for j in range(2, n + 1):
+        gram = F.zip_with(
+            gram, F.slice(w, j, big), lambda x, y: F.concat_ws(" ", x, y)
+        )
+    return F.slice(gram, 1, F.greatest(F.size(w) - (n - 1), F.lit(0)))
+
+
 # PII patterns restricted to the Java-regex / RE2 common subset so the
 # DuckDB oracle matches byte-for-byte (no lookarounds, no possessives)
 EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"

@@ -377,6 +377,74 @@ def connected_components(
     return labels.select(F.col("id").alias("doc_id"), "component")
 
 
+def ngram_contamination(
+    train: DataFrame,
+    benchmark: DataFrame,
+    n: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: per training doc, how many of its distinct
+    word n-grams appear anywhere in the benchmark set (the standard
+    eval-contamination check run before training).
+
+    Scale shape: the benchmark side is tiny relative to the corpus, so its
+    distinct grams are broadcast — the training corpus is scanned once,
+    map-side joined, and aggregated on ``id`` with partial aggregation; no
+    corpus-side shuffle on gram.  Returns every training doc with
+    (shared_grams, contaminated)."""
+    train_grams = train.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_ngrams(F.col(text_col), n)).alias("gram"),
+    )
+    bench_grams = (
+        benchmark.select(F.explode(word_ngrams(F.col(text_col), n)).alias("gram"))
+        .distinct()
+    )
+    shared = (
+        train_grams.join(F.broadcast(bench_grams), "gram")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("shared_grams"))
+    )
+    return (
+        train.select(F.col(id_col).alias("doc_id"))
+        .join(shared.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("shared_grams"), F.lit(0)).alias("shared_grams"),
+            (F.coalesce(F.col("shared_grams"), F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def cluster_representatives(
+    df: DataFrame,
+    pairs: DataFrame,
+    quality_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Pick one representative per near-dup cluster: highest ``quality_col``,
+    ties broken by lowest id (docs outside any cluster represent themselves).
+
+    One extra shuffle on component after connected components; the per-
+    component window is safe at scale because near-dup components are small
+    cliques (bounded by the LSH/jaccard candidate generation)."""
+    from pyspark.sql.window import Window
+
+    comps = connected_components(pairs)
+    labeled = (
+        df.select(F.col(id_col).alias("doc_id"), F.col(quality_col).alias("q"))
+        .join(comps, "doc_id", "left")
+        .withColumn("component", F.coalesce(F.col("component"), F.col("doc_id")))
+    )
+    w = Window.partitionBy("component").orderBy(F.desc("q"), F.asc("doc_id"))
+    return labeled.select(
+        "doc_id",
+        "component",
+        (F.row_number().over(w) == 1).alias("is_rep"),
+    )
+
+
 def dedup_keep_list(
     df: DataFrame,
     pairs: DataFrame,

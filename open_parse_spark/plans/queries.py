@@ -1528,6 +1528,216 @@ FROM ctx WHERE role = 'assistant'
 
 
 # ---------------------------------------------------------------------------
+# training-data curation: decontamination, cluster reps, packing, sampling,
+# repetition quality
+# ---------------------------------------------------------------------------
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs (doc_id % 17 != 0) flagged by
+    shared word 4-grams with the held-out benchmark slice (doc_id % 17 == 0).
+    Benchmark grams broadcast; corpus scanned once."""
+    docs = _tbl(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 17 == 0)
+    train = docs.where(F.col("doc_id") % 17 != 0)
+    return D.ngram_contamination(train, bench, n=4)
+
+
+SQL_DECONTAMINATE = """
+WITH w AS (
+  SELECT doc_id, list_transform(regexp_extract_all(text, '[A-Za-z0-9]+'), x -> lower(x)) AS ws
+  FROM documents
+), g0 AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, len(ws) - 3),
+                       i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS grams
+  FROM w WHERE len(ws) >= 4
+), g AS (
+  SELECT doc_id, unnest(grams) AS gram FROM g0
+), bench AS (
+  SELECT DISTINCT gram FROM g WHERE doc_id % 17 = 0
+), shared AS (
+  SELECT g.doc_id, count(*)::BIGINT AS shared_grams
+  FROM g JOIN bench USING (gram)
+  WHERE g.doc_id % 17 <> 0
+  GROUP BY g.doc_id
+)
+SELECT d.doc_id,
+       coalesce(s.shared_grams, 0)::BIGINT AS shared_grams,
+       coalesce(s.shared_grams, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN shared s USING (doc_id)
+WHERE d.doc_id % 17 <> 0
+"""
+
+
+def q_dedup_cluster_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One representative per near-dup cluster (max n_chars, tie lowest id)
+    over the exact-Jaccard pair graph; singletons represent themselves."""
+    docs = _tbl(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs)
+    return D.cluster_representatives(docs, pairs, quality_col="n_chars")
+
+
+SQL_DEDUP_CLUSTER_REP = f"""
+WITH RECURSIVE {_JACCARD_CTES}, edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM jpairs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM jpairs
+), reach(id, r) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT reach.id, e.b FROM reach JOIN edges e ON e.a = reach.r
+), comps AS (
+  SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id
+), labeled AS (
+  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component, d.n_chars
+  FROM documents d LEFT JOIN comps c USING (doc_id)
+)
+SELECT doc_id, component,
+       row_number() OVER (PARTITION BY component
+                          ORDER BY n_chars DESC, doc_id ASC) = 1 AS is_rep
+FROM labeled
+"""
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy first-fit sequence packing (512-word bins, per-source shards,
+    docs ordered by id) — sequential fold per shard inside applyInPandas,
+    replayed exactly by the oracle's recursive CTE."""
+    from open_parse_spark.operators.packing import pack_sequences
+
+    return pack_sequences(_tbl(spark, sf_dir, "documents"), capacity=512)
+
+
+SQL_PACK_SEQUENCES = """
+WITH RECURSIVE sized AS (
+  SELECT doc_id::BIGINT AS doc_id, source AS shard,
+         len(regexp_extract_all(text, '[A-Za-z0-9]+'))::BIGINT AS n_words,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents
+), st(shard, rn, doc_id, n_words, bin_id, bin_fill) AS (
+  SELECT shard, rn, doc_id, n_words, 0::BIGINT, n_words FROM sized WHERE rn = 1
+  UNION ALL
+  SELECT s.shard, s.rn, s.doc_id, s.n_words,
+         CASE WHEN st.bin_fill + s.n_words <= 512 THEN st.bin_id
+              ELSE st.bin_id + 1 END,
+         CASE WHEN st.bin_fill + s.n_words <= 512 THEN st.bin_fill + s.n_words
+              ELSE s.n_words END
+  FROM st JOIN sized s ON s.shard = st.shard AND s.rn = st.rn + 1
+)
+SELECT doc_id, shard, n_words, bin_id, bin_fill FROM st
+"""
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample: exactly ceil(n/5) docs per lang,
+    selected by smallest md5(id ':' text)."""
+    from open_parse_spark.operators.sampling import stratified_sample
+
+    return stratified_sample(
+        _tbl(spark, sf_dir, "documents"), num=1, den=5, stratum_col="lang"
+    )
+
+
+SQL_SAMPLE_STRATIFIED = """
+WITH ranked AS (
+  SELECT doc_id, lang AS stratum,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5(doc_id::VARCHAR || ':' || text) ASC, doc_id ASC
+         )::BIGINT AS sample_rank,
+         count(*) OVER (PARTITION BY lang)::BIGINT AS stratum_n
+  FROM documents
+)
+SELECT doc_id, stratum, sample_rank, stratum_n
+FROM ranked
+WHERE 5 * sample_rank <= stratum_n + 4
+"""
+
+
+def q_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition gate (Rae et al. 2021 §A1.1): fraction of all
+    2-gram occurrences taken by the single most frequent 2-gram, and fraction
+    of 3-gram occurrences belonging to grams that repeat.  Integer flag
+    arithmetic (5*top2 <= n2: top-2-gram <= 20%; 2*dup3 <= n3: duplicated
+    3-grams <= 50%) so the oracle matches bit-exactly.
+
+    One explode + two groupBy stages per n, all keyed (doc_id[, gram]) with
+    map-side partial aggregation — scales linearly in corpus size."""
+    docs = _tbl(spark, sf_dir, "documents")
+
+    def gram_stats(n: int, top: bool) -> DataFrame:
+        grams = docs.select(
+            "doc_id",
+            F.explode(T.word_ngrams_all(F.col("text"), n)).alias("gram"),
+        )
+        per_gram = grams.groupBy("doc_id", "gram").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        if top:
+            return per_gram.groupBy("doc_id").agg(
+                F.max("cnt").alias(f"top{n}"),
+                F.sum("cnt").alias(f"n{n}"),
+            )
+        return per_gram.groupBy("doc_id").agg(
+            F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0)).alias(
+                f"dup{n}"
+            ),
+            F.sum("cnt").alias(f"n{n}"),
+        )
+
+    two = gram_stats(2, top=True)
+    three = gram_stats(3, top=False)
+    return (
+        two.join(three, "doc_id")
+        .select(
+            "doc_id",
+            F.col("top2").cast("long").alias("top2"),
+            F.col("n2").cast("long").alias("n2"),
+            F.col("dup3").cast("long").alias("dup3"),
+            F.col("n3").cast("long").alias("n3"),
+            (5 * F.col("top2") <= F.col("n2")).alias("top2_ok"),
+            (2 * F.col("dup3") <= F.col("n3")).alias("dup3_ok"),
+            (
+                (5 * F.col("top2") <= F.col("n2"))
+                & (2 * F.col("dup3") <= F.col("n3"))
+            ).alias("keep"),
+        )
+    )
+
+
+SQL_QUALITY_REPETITION = """
+WITH w AS (
+  SELECT doc_id, list_transform(regexp_extract_all(text, '[A-Za-z0-9]+'), x -> lower(x)) AS ws
+  FROM documents
+), g2 AS (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - 1),
+                        i -> ws[i] || ' ' || ws[i+1])) AS gram
+  FROM w WHERE len(ws) >= 2
+), g3 AS (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - 2),
+                        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS gram
+  FROM w WHERE len(ws) >= 3
+), s2 AS (
+  SELECT doc_id, max(cnt)::BIGINT AS top2, sum(cnt)::BIGINT AS n2
+  FROM (SELECT doc_id, gram, count(*) AS cnt FROM g2 GROUP BY 1, 2)
+  GROUP BY doc_id
+), s3 AS (
+  SELECT doc_id,
+         sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END)::BIGINT AS dup3,
+         sum(cnt)::BIGINT AS n3
+  FROM (SELECT doc_id, gram, count(*) AS cnt FROM g3 GROUP BY 1, 2)
+  GROUP BY doc_id
+)
+SELECT doc_id, top2, n2, dup3, n3,
+       (5 * top2 <= n2) AS top2_ok,
+       (2 * dup3 <= n3) AS dup3_ok,
+       (5 * top2 <= n2 AND 2 * dup3 <= n3) AS keep
+FROM s2 JOIN s3 USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1586,6 +1796,12 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "training_corpus_clean": (q_training_corpus_clean, SQL_TRAINING_CORPUS_CLEAN),
     "conv_stats": (q_conv_stats, SQL_CONV_STATS),
     "conv_context": (q_conv_context, SQL_CONV_CONTEXT),
+    # training-data curation (round 2, part 3)
+    "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
+    "dedup_cluster_rep": (q_dedup_cluster_rep, SQL_DEDUP_CLUSTER_REP),
+    "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
+    "sample_stratified": (q_sample_stratified, SQL_SAMPLE_STRATIFIED),
+    "quality_repetition": (q_quality_repetition, SQL_QUALITY_REPETITION),
 }
 
 

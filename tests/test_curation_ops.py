@@ -1,0 +1,152 @@
+"""Unit tests for the training-data curation operators added in round 2
+part 3: decontamination, cluster representatives, sequence packing,
+stratified sampling, repetition quality.  Hand-computed expectations on
+crafted inputs (the sf0.01 oracle gate covers the corpus-level equality)."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from open_parse_spark.operators.dedup import (
+    cluster_representatives,
+    ngram_contamination,
+)
+from open_parse_spark.operators.packing import pack_sequences
+from open_parse_spark.operators.sampling import stratified_sample
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+
+def test_ngram_contamination_crafted(spark):
+    bench = _docs(spark, [(0, "alpha beta gamma delta epsilon", "en", "s", 1)])
+    train = _docs(
+        spark,
+        [
+            # shares 'alpha beta gamma delta' and 'beta gamma delta epsilon'
+            (1, "alpha beta gamma delta epsilon zeta", "en", "s", 1),
+            # no 4-gram overlap
+            (2, "one two three four five", "en", "s", 1),
+            # too short for any 4-gram
+            (3, "alpha beta", "en", "s", 1),
+        ],
+    )
+    out = {
+        r["doc_id"]: (r["shared_grams"], r["contaminated"])
+        for r in ngram_contamination(train, bench, n=4).collect()
+    }
+    assert out == {1: (2, True), 2: (0, False), 3: (0, False)}
+
+
+def test_cluster_representatives_tiebreak(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "a", "en", "s", 10),
+            (2, "b", "en", "s", 30),  # rep of {1,2,3}: max n_chars
+            (3, "c", "en", "s", 30),  # ties with 2; loses on higher id
+            (4, "d", "en", "s", 5),  # singleton -> its own rep
+        ],
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "doc_a long, doc_b long")
+    out = {r["doc_id"]: (r["component"], r["is_rep"]) for r in
+           cluster_representatives(docs, pairs).collect()}
+    assert out == {1: (1, False), 2: (1, True), 3: (1, False), 4: (4, True)}
+
+
+def test_pack_sequences_greedy_fold(spark):
+    # capacity 10; shard A word counts in doc order: 4, 4, 4, 12, 1
+    rows = [
+        (1, "w " * 4, "x", "A", 1),
+        (2, "w " * 4, "x", "A", 1),
+        (3, "w " * 4, "x", "A", 1),
+        (4, "w " * 12, "x", "A", 1),  # overfull: own bin
+        (5, "w", "x", "A", 1),
+        (6, "w " * 9, "x", "B", 1),  # second shard independent
+    ]
+    out = pack_sequences(_docs(spark, rows), capacity=10).collect()
+    got = {r["doc_id"]: (r["bin_id"], r["bin_fill"]) for r in out}
+    assert got == {
+        1: (0, 4),
+        2: (0, 8),
+        3: (1, 4),  # 8+4 > 10 -> new bin
+        4: (2, 12),  # 4+12 > 10 -> new overfull bin
+        5: (3, 1),  # 12+1 > 10 -> new bin
+        6: (0, 9),
+    }
+
+
+def test_pack_sequences_differential(spark):
+    """applyInPandas fold == pure-python fold on a randomized-ish corpus."""
+    rows = [
+        (i, "w " * ((i * 7919) % 23 + 1), "x", f"s{i % 3}", 1) for i in range(60)
+    ]
+    out = pack_sequences(_docs(spark, rows), capacity=16).collect()
+    got = {r["doc_id"]: (r["bin_id"], r["bin_fill"]) for r in out}
+    for shard in range(3):
+        docs = sorted((i, (i * 7919) % 23 + 1) for i in range(60) if i % 3 == shard)
+        bin_id, fill = 0, 0
+        for j, (doc_id, w) in enumerate(docs):
+            if j == 0:
+                fill = w
+            elif fill + w <= 16:
+                fill += w
+            else:
+                bin_id, fill = bin_id + 1, w
+            assert got[doc_id] == (bin_id, fill), doc_id
+
+
+def test_stratified_sample_quota_and_determinism(spark):
+    rows = [
+        (i, f"text number {i}", ["en", "fr", "de"][i % 3], "s", 1)
+        for i in range(31)
+    ]
+    docs = _docs(spark, rows)
+    out = stratified_sample(docs, num=1, den=5).collect()
+    by_stratum = {}
+    for r in out:
+        by_stratum.setdefault(r["stratum"], []).append(r)
+    # strata sizes: en=11, fr=10, de=10 -> quotas ceil/5 = 3, 2, 2
+    assert {k: len(v) for k, v in by_stratum.items()} == {
+        "en": 3, "fr": 2, "de": 2,
+    }
+    # selection = smallest md5("id:text"), replicated here in pure python
+    for stratum, kept in by_stratum.items():
+        pool = [
+            (hashlib.md5(f"{i}:text number {i}".encode()).hexdigest(), i)
+            for i in range(31)
+            if ["en", "fr", "de"][i % 3] == stratum
+        ]
+        expect = {i for _, i in sorted(pool)[: len(kept)]}
+        assert {r["doc_id"] for r in kept} == expect
+    # deterministic across runs
+    again = stratified_sample(docs, num=1, den=5).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+
+
+def test_quality_repetition_flags(spark):
+    from open_parse_spark.plans.queries import q_quality_repetition
+
+    # write a tiny documents.parquet so the registry query runs on it
+    import os
+    import tempfile
+
+    rows = [
+        # 'a b a b a b': 2-grams = [a b, b a, a b, b a, a b] -> top2=3, n2=5
+        # 3-grams = [a b a, b a b, a b a, b a b] -> dup3=4, n3=4
+        (1, "a b a b a b", "en", "s", 11),
+        # all distinct words: top2=1, dup3=0
+        (2, "one two three four five six", "en", "s", 27),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _docs(spark, rows).coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
+        out = {r["doc_id"]: r.asDict() for r in q_quality_repetition(spark, d).collect()}
+    assert out[1]["top2"] == 3 and out[1]["n2"] == 5
+    assert out[1]["dup3"] == 4 and out[1]["n3"] == 4
+    assert not out[1]["top2_ok"] and not out[1]["dup3_ok"] and not out[1]["keep"]
+    assert out[2]["top2"] == 1 and out[2]["dup3"] == 0
+    assert out[2]["top2_ok"] and out[2]["dup3_ok"] and out[2]["keep"]
