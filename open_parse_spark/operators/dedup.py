@@ -343,6 +343,10 @@ def connected_components(
         pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
         .union(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
         .distinct()
+        # materialize once: every propagation iteration joins against edges,
+        # and without this the upstream pair generation (e.g. the jaccard
+        # gram self-join) re-runs per iteration
+        .localCheckpoint(eager=True)
     )
     labels = (
         edges.select(F.col("a").alias("id"))
@@ -365,13 +369,18 @@ def connected_components(
                 ).alias("component"),
             )
         )
+        # checkpoint BEFORE the convergence count: the count then reads the
+        # materialized iteration instead of re-deriving the whole lineage
+        # (checkpoint-then-count halves per-iteration work vs count-then-
+        # checkpoint, which materialized every iteration twice)
+        new_labels = new_labels.localCheckpoint(eager=True)  # truncate lineage
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")
             .where(F.col("n.component") != F.col("o.component"))
             .count()
         )
-        labels = new_labels.localCheckpoint(eager=True)  # truncate lineage
+        labels = new_labels
         if changed == 0:
             break
     return labels.select(F.col("id").alias("doc_id"), "component")
