@@ -219,6 +219,10 @@ def main() -> None:
         "op_spatial_anti_join",
         "op_remove_repeated",
         "events_hourly",
+        "decontaminate",
+        "pack_sequences",
+        "sample_stratified",
+        "quality_repetition",
     ]
 
     query_secs: dict[str, float] = {}
