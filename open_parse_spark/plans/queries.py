@@ -1600,6 +1600,33 @@ FROM labeled
 """
 
 
+def q_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final dedup decision for every doc: keep unless it sits in a near-dup
+    component and is not the component's min id (the keep-list a pipeline
+    actually applies downstream of pair generation)."""
+    docs = _tbl(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs)
+    return D.dedup_keep_list(docs, pairs)
+
+
+SQL_DEDUP_KEEP = f"""
+WITH RECURSIVE {_JACCARD_CTES}, edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM jpairs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM jpairs
+), reach(id, r) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT reach.id, e.b FROM reach JOIN edges e ON e.a = reach.r
+), comps AS (
+  SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id
+)
+SELECT d.doc_id,
+       (c.component IS NULL OR c.component = d.doc_id) AS keep
+FROM documents d LEFT JOIN comps c USING (doc_id)
+"""
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy first-fit sequence packing (512-word bins, per-source shards,
     docs ordered by id) — sequential fold per shard inside applyInPandas,
@@ -1799,6 +1826,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     # training-data curation (round 2, part 3)
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "dedup_cluster_rep": (q_dedup_cluster_rep, SQL_DEDUP_CLUSTER_REP),
+    "dedup_keep": (q_dedup_keep, SQL_DEDUP_KEEP),
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
     "sample_stratified": (q_sample_stratified, SQL_SAMPLE_STRATIFIED),
     "quality_repetition": (q_quality_repetition, SQL_QUALITY_REPETITION),
