@@ -213,18 +213,31 @@ def _dim_of(embeddings: DataFrame, vec_col: str) -> int:
 
 
 def _assign_to_centroids(c: DataFrame, centroids: DataFrame) -> DataFrame:
-    """argmin centroid by squared L2, via broadcast + min_by (single pass)."""
-    joined = c.crossJoin(F.broadcast(centroids))
-    dist = F.aggregate(
-        F.zip_with(F.col("v"), F.col("centroid"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    scored = joined.select("id", "v", "centroid_id", dist.alias("dist"))
-    return scored.groupBy("id").agg(
-        F.min_by("centroid_id", "dist").alias("centroid_id"),
-        F.first("v").alias("v"),
-    )
+    """argmin centroid by squared L2, ties to the lowest centroid_id.
+
+    Map-only: the k centroids are tiny (they are already materialized by the
+    Lloyd loop's eager checkpoint), so they ride into a vectorized pandas UDF
+    as a numpy literal — one (n, dim) @ (dim, k) matmul per Arrow batch.
+    The previous formulation (crossJoin(broadcast) + interpreted HOF fold +
+    groupBy(id) min_by) blew every corpus row up k-fold and shuffled it back
+    together; this one touches each row once and shuffles nothing."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import LongType
+
+    rows = sorted(centroids.collect(), key=lambda r: r["centroid_id"])
+    ids = np.array([r["centroid_id"] for r in rows], dtype=np.int64)
+    mat = np.array([r["centroid"] for r in rows], dtype=np.float64)  # (k, dim)
+    sq = (mat * mat).sum(axis=1)  # |c|^2, (k,)
+
+    def _argmin(vs):
+        m = np.stack(vs.values).astype(np.float64)  # (n, dim)
+        # |v-c|^2 = |v|^2 - 2 v.c + |c|^2; |v|^2 constant per row for argmin
+        d = sq[None, :] - 2.0 * (m @ mat.T)  # (n, k)
+        return pd.Series(ids[d.argmin(axis=1)])
+
+    assign = F.pandas_udf(_argmin, LongType())
+    return c.select("id", "v", assign(F.col("v")).alias("centroid_id"))
 
 
 def ivf_topk(
