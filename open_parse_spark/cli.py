@@ -56,6 +56,34 @@ def main(argv=None) -> int:
     qp.add_argument("--scrub-pii", action="store_true")
     qp.add_argument("--master", default=None)
 
+    kp = sub.add_parser(
+        "pack", help="greedy sequence packing into fixed-size context bins"
+    )
+    kp.add_argument("--input", required=True, help="parquet with (doc_id, text)")
+    kp.add_argument("--output", required=True)
+    kp.add_argument("--capacity", type=int, default=512)
+    kp.add_argument("--shard-col", default="source")
+    kp.add_argument("--master", default=None)
+
+    mp = sub.add_parser(
+        "sample", help="deterministic stratified sample (exact per-stratum quota)"
+    )
+    mp.add_argument("--input", required=True, help="parquet with (doc_id, text)")
+    mp.add_argument("--output", required=True)
+    mp.add_argument("--num", type=int, default=1, help="quota numerator")
+    mp.add_argument("--den", type=int, default=5, help="quota denominator")
+    mp.add_argument("--stratum-col", default="lang")
+    mp.add_argument("--master", default=None)
+
+    cp = sub.add_parser(
+        "decontaminate", help="flag training docs sharing n-grams with a benchmark set"
+    )
+    cp.add_argument("--input", required=True, help="training parquet (doc_id, text)")
+    cp.add_argument("--benchmark", required=True, help="benchmark parquet (doc_id, text)")
+    cp.add_argument("--output", required=True)
+    cp.add_argument("--ngram", type=int, default=13)
+    cp.add_argument("--master", default=None)
+
     args = p.parse_args(argv)
 
     from open_parse_spark.spark.session import get_spark
@@ -140,6 +168,34 @@ def main(argv=None) -> int:
         if args.scrub_pii:
             cols.append(T.scrub_pii(t).alias("clean_text"))
         docs.select(*cols).write.mode("overwrite").parquet(args.output)
+        return 0
+
+    if args.cmd == "pack":
+        from open_parse_spark.operators.packing import pack_sequences
+
+        docs = spark.read.parquet(args.input)
+        pack_sequences(
+            docs, capacity=args.capacity, shard_col=args.shard_col
+        ).write.mode("overwrite").parquet(args.output)
+        return 0
+
+    if args.cmd == "sample":
+        from open_parse_spark.operators.sampling import stratified_sample
+
+        docs = spark.read.parquet(args.input)
+        stratified_sample(
+            docs, num=args.num, den=args.den, stratum_col=args.stratum_col
+        ).write.mode("overwrite").parquet(args.output)
+        return 0
+
+    if args.cmd == "decontaminate":
+        from open_parse_spark.operators.dedup import ngram_contamination
+
+        train = spark.read.parquet(args.input)
+        bench = spark.read.parquet(args.benchmark)
+        ngram_contamination(train, bench, n=args.ngram).write.mode(
+            "overwrite"
+        ).parquet(args.output)
         return 0
 
     return 1

@@ -191,6 +191,70 @@ def streaming_dedup_exact(
     )
 
 
+def streaming_decontaminate(
+    spark: SparkSession,
+    input_dir: str,
+    benchmark: DataFrame,
+    n: int = 4,
+) -> DataFrame:
+    """Streaming twin of ``dedup.ngram_contamination``: each incoming turn is
+    checked against a STATIC benchmark gram set inside a stateless
+    ``mapInPandas`` (same shape as the streaming parse) — per-row verdicts
+    need no streaming state, no watermark, and run in append mode.
+
+    An explode→join→re-aggregate formulation (the batch plan) is NOT legal on
+    a stream (aggregation then join); the membership set is small (eval
+    suites), so it ships as a task broadcast instead.  Gram construction
+    replicates ``functions/text.py:words``'s extract-then-lower semantics."""
+    import re as _re
+
+    import pandas as pd
+
+    from open_parse_spark.functions.text import word_ngrams
+
+    bench_grams = frozenset(
+        r["gram"]
+        for r in benchmark.select(
+            F.explode(word_ngrams(F.col("text"), n)).alias("gram")
+        )
+        .distinct()
+        .collect()
+    )
+    bc = spark.sparkContext.broadcast(bench_grams)
+    word_re = _re.compile(r"[A-Za-z0-9]+")
+
+    def check(batches):
+        bench = bc.value
+        for pdf in batches:
+            shared = []
+            for text in pdf["text"]:
+                ws = [w.lower() for w in word_re.findall(text or "")]
+                grams = {
+                    " ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)
+                }
+                shared.append(sum(1 for g in grams if g in bench))
+            yield pd.DataFrame(
+                {
+                    "conv_id": pdf["conv_id"],
+                    "turn_idx": pdf["turn_idx"],
+                    "shared_grams": pd.Series(shared, dtype="int64"),
+                    "contaminated": pd.Series(
+                        [s > 0 for s in shared], dtype="bool"
+                    ),
+                }
+            )
+
+    stream = (
+        spark.readStream.schema(TRANSCRIPT_DDL)
+        .parquet(input_dir)
+        .select("conv_id", "turn_idx", "text")
+    )
+    return stream.mapInPandas(
+        check,
+        "conv_id string, turn_idx int, shared_grams long, contaminated boolean",
+    )
+
+
 def run_stream_to_memory(
     stream_df: DataFrame, query_name: str, mode: str = "append"
 ):

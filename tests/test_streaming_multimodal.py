@@ -167,3 +167,63 @@ def test_streaming_sessionize_matches_batch(spark, tmp_path):
     assert closed_set <= got_set, "stream lost a gap-closed session"
     assert got_set <= batch_set, "stream emitted a session batch never saw"
     assert len(got) == len(got_set)  # exactly-once per closed session
+
+
+def test_streaming_decontaminate_matches_batch(spark, stream_dir):
+    """Stateless stream-side contamination == the batch operator on the same
+    rows (turn-keyed; the batch op is run on a doc_id projection of them)."""
+    from pyspark.sql import functions as F
+
+    from open_parse_spark.operators.dedup import ngram_contamination
+    from open_parse_spark.streaming.jobs import (
+        run_stream_to_memory,
+        streaming_decontaminate,
+    )
+
+    raw = spark.read.parquet(stream_dir)
+    # benchmark: a deterministic slice of the same corpus -> guaranteed hits
+    bench = raw.where(F.crc32("text") % 5 == 0).select("text")
+
+    stream = streaming_decontaminate(spark, stream_dir, bench, n=4)
+    q = run_stream_to_memory(stream, "decon_stream")
+    q.awaitTermination(120)
+    got = (
+        spark.table("decon_stream")
+        .orderBy("conv_id", "turn_idx", "shared_grams")
+        .toPandas()
+    )
+    assert len(got) == raw.count()
+    assert bool(got["contaminated"].any())  # the bench slice itself collides
+
+    # batch twin on the identical rows, keyed the same way
+    keyed = raw.select(
+        F.concat_ws(
+            "#", "conv_id", F.col("turn_idx").cast("string"), F.md5("text")
+        ).alias("doc_id"),
+        "text",
+    ).distinct()
+    batch = (
+        ngram_contamination(keyed, bench.withColumnRenamed("text", "text"), n=4)
+        .toPandas()
+        .set_index("doc_id")
+    )
+    # per-(conv,turn) multiset of shared-gram counts must match exactly
+    stream_counts = {}
+    for _, r in got.iterrows():
+        stream_counts.setdefault((r["conv_id"], r["turn_idx"]), []).append(
+            int(r["shared_grams"])
+        )
+    batch_counts = {}
+    texts = {}
+    for _, r in raw.select("conv_id", "turn_idx", "text").toPandas().iterrows():
+        texts.setdefault((r["conv_id"], r["turn_idx"]), []).append(r["text"])
+    import hashlib
+    for (conv, turn), txts in texts.items():
+        vals = []
+        for t in txts:
+            key = f"{conv}#{turn}#{hashlib.md5(t.encode()).hexdigest()}"
+            vals.append(int(batch.loc[key]["shared_grams"]))
+        # distinct() collapsed identical texts; replicate per original row
+        batch_counts[(conv, turn)] = vals
+    for k, vals in stream_counts.items():
+        assert sorted(vals) == sorted(batch_counts[k]), k
