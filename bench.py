@@ -223,6 +223,7 @@ def main() -> None:
         "pack_sequences",
         "sample_stratified",
         "quality_repetition",
+        "training_pipeline_full",
     ]
 
     query_secs: dict[str, float] = {}

@@ -1764,6 +1764,141 @@ FROM s2 JOIN s3 USING (doc_id)
 """
 
 
+def q_training_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole curation pipeline as ONE query — what actually runs before
+    tokenization at 100 TB: hold out the benchmark slice, then per training
+    doc audit every gate (exact-dedup canonical, language, Gopher quality,
+    repetition, benchmark decontamination) and the final keep decision.
+
+    Composes the already-oracle-checked operators; each stage is one shuffle
+    (or map-only for the broadcast contamination join), all joined back on
+    doc_id.  Emitting per-gate flags (not just survivors) is deliberate:
+    curation pipelines need drop-reason audits."""
+    from pyspark.sql.window import Window
+
+    docs = _tbl(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 17 != 0)
+    base = train.select(
+        "doc_id",
+        (
+            F.col("doc_id")
+            == F.min("doc_id").over(Window.partitionBy(F.md5("text")))
+        ).alias("canon_ok"),
+        (T.predict_lang(F.col("text")) == "en").alias("lang_ok"),
+    )
+    gopher = q_quality_gopher(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("gopher_ok")
+    )
+    rep = q_quality_repetition(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("rep_ok")
+    )
+    decon = q_decontaminate(spark, sf_dir).select(
+        "doc_id", (~F.col("contaminated")).alias("decon_ok")
+    )
+    out = (
+        base.join(gopher, "doc_id")
+        .join(rep, "doc_id")
+        .join(decon, "doc_id")
+    )
+    return out.select(
+        "doc_id",
+        "canon_ok",
+        "lang_ok",
+        "gopher_ok",
+        "rep_ok",
+        "decon_ok",
+        (
+            F.col("canon_ok")
+            & F.col("lang_ok")
+            & F.col("gopher_ok")
+            & F.col("rep_ok")
+            & F.col("decon_ok")
+        ).alias("keep"),
+    )
+
+
+SQL_TRAINING_PIPELINE_FULL = f"""
+WITH train AS (
+  SELECT * FROM documents WHERE doc_id % 17 <> 0
+), canon AS (
+  SELECT doc_id,
+         doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS canon_ok
+  FROM train
+), lscores AS (
+{_LANG_SCORE_SQL}
+), lpred AS (
+  SELECT doc_id, lang = 'en' AS lang_ok FROM (
+    SELECT doc_id, lang,
+           row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS rn
+    FROM lscores) t WHERE rn = 1
+), gm AS (
+  SELECT doc_id,
+         len(list_transform(regexp_extract_all(text, '[A-Za-z0-9]+'), w -> lower(w)))::BIGINT AS n_words,
+         length(regexp_replace(text, '[^A-Za-z0-9]+', '', 'g'))::BIGINT AS word_chars,
+         len(regexp_extract_all(text, '[#$%^~]'))::BIGINT AS n_symbols,
+         len(regexp_extract_all(text, '(?i)\\b(the|a|and|of|to|is|in)\\b'))::BIGINT AS n_stop
+  FROM train
+), gopher AS (
+  SELECT doc_id,
+         (n_words >= 50 AND n_words <= 100000
+          AND word_chars >= 3 * n_words AND word_chars <= 10 * n_words
+          AND 10 * n_symbols < n_words AND n_stop >= 2) AS gopher_ok
+  FROM gm
+), rw AS (
+  SELECT doc_id, list_transform(regexp_extract_all(text, '[A-Za-z0-9]+'), x -> lower(x)) AS ws
+  FROM train
+), rg2 AS (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - 1),
+                        i -> ws[i] || ' ' || ws[i+1])) AS gram
+  FROM rw WHERE len(ws) >= 2
+), rg3 AS (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - 2),
+                        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS gram
+  FROM rw WHERE len(ws) >= 3
+), rs2 AS (
+  SELECT doc_id, max(cnt)::BIGINT AS top2, sum(cnt)::BIGINT AS n2
+  FROM (SELECT doc_id, gram, count(*) AS cnt FROM rg2 GROUP BY 1, 2)
+  GROUP BY doc_id
+), rs3 AS (
+  SELECT doc_id,
+         sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END)::BIGINT AS dup3,
+         sum(cnt)::BIGINT AS n3
+  FROM (SELECT doc_id, gram, count(*) AS cnt FROM rg3 GROUP BY 1, 2)
+  GROUP BY doc_id
+), rep AS (
+  SELECT doc_id, (5 * top2 <= n2 AND 2 * dup3 <= n3) AS rep_ok
+  FROM rs2 JOIN rs3 USING (doc_id)
+), dw AS (
+  SELECT doc_id, list_transform(regexp_extract_all(text, '[A-Za-z0-9]+'), x -> lower(x)) AS ws
+  FROM documents
+), dg0 AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, len(ws) - 3),
+                       i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS grams
+  FROM dw WHERE len(ws) >= 4
+), dg AS (
+  SELECT doc_id, unnest(grams) AS gram FROM dg0
+), dbench AS (
+  SELECT DISTINCT gram FROM dg WHERE doc_id % 17 = 0
+), dshared AS (
+  SELECT dg.doc_id, count(*)::BIGINT AS shared_grams
+  FROM dg JOIN dbench USING (gram)
+  WHERE dg.doc_id % 17 <> 0
+  GROUP BY dg.doc_id
+), decon AS (
+  SELECT t.doc_id, coalesce(s.shared_grams, 0) = 0 AS decon_ok
+  FROM train t LEFT JOIN dshared s USING (doc_id)
+)
+SELECT c.doc_id, c.canon_ok, l.lang_ok, g.gopher_ok, r.rep_ok, d.decon_ok,
+       (c.canon_ok AND l.lang_ok AND g.gopher_ok AND r.rep_ok AND d.decon_ok) AS keep
+FROM canon c
+JOIN lpred l USING (doc_id)
+JOIN gopher g USING (doc_id)
+JOIN rep r USING (doc_id)
+JOIN decon d USING (doc_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1830,6 +1965,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
     "sample_stratified": (q_sample_stratified, SQL_SAMPLE_STRATIFIED),
     "quality_repetition": (q_quality_repetition, SQL_QUALITY_REPETITION),
+    "training_pipeline_full": (q_training_pipeline_full, SQL_TRAINING_PIPELINE_FULL),
 }
 
 
