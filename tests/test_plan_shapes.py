@@ -1,0 +1,71 @@
+"""Physical-plan regression guards: the scale properties PLANS.md documents
+(zero-shuffle parse, broadcast dimension joins, map-only ops) asserted as
+plan SHAPE so a refactor can't silently reintroduce a shuffle or a cartesian
+product.  String-matching the physical plan is deliberately coarse — these
+tests pin structure, not cosmetics."""
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_parse_is_zero_shuffle(spark):
+    from open_parse_spark.spark.pipeline import parse_transcripts
+
+    t = spark.read.parquet("/root/repo/BENCH/bench_transcripts")
+    plan = _plan(parse_transcripts(t, repartition_for_skew=False))
+    assert "Exchange" not in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    from open_parse_spark.plans.queries import q_decontaminate
+
+    plan = _plan(q_decontaminate(spark, SF))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_sample_stratified_single_exchange(spark):
+    from open_parse_spark.plans.queries import q_sample_stratified
+
+    plan = _plan(q_sample_stratified(spark, SF))
+    assert plan.count("Exchange") <= 2, plan  # 1 hash exchange (+AQE read)
+    assert "CartesianProduct" not in plan
+
+
+def test_map_only_ops_have_no_exchange(spark):
+    from open_parse_spark.plans.queries import (
+        q_multimodal_meta,
+        q_pii_scrub,
+        q_text_quality,
+    )
+
+    for q in (q_text_quality, q_pii_scrub, q_multimodal_meta):
+        plan = _plan(q(spark, SF))
+        assert "Exchange" not in plan, (q.__name__, plan)
+
+
+def test_spatial_anti_join_is_broadcast(spark):
+    from open_parse_spark.plans.queries import q_op_spatial_anti_join
+
+    plan = _plan(q_op_spatial_anti_join(spark, SF))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+
+
+def test_no_cartesian_products_anywhere(spark):
+    """crossJoins exist only against broadcast sides (queries/centroids);
+    a CartesianProduct node anywhere is a scale bug."""
+    from open_parse_spark.plans.queries import REGISTRY
+
+    skip = set()  # every query must satisfy this
+    for name, (fn, _sql) in REGISTRY.items():
+        if name in skip:
+            continue
+        plan = _plan(fn(spark, SF))
+        assert "CartesianProduct" not in plan, name

@@ -232,3 +232,63 @@ def test_narrow_output_error_rows(spark):
     errs = pd.concat([out[out.node_idx == -1], out2[out2.node_idx == -1]])
     if len(errs):
         assert errs["parse_error"].notna().all()
+
+
+def test_resume_overwrites_partial_wave_output(spark, transcripts_df, tmp_path):
+    """A wave that dies mid-write leaves bucket=K output with NO checkpoint
+    row; resume must overwrite it, never double-count (write-ahead ordering:
+    output first, checkpoint last)."""
+    import os
+
+    from open_parse_spark.spark.checkpoint import run_resumable
+
+    out = str(tmp_path / "nodes")
+    ckpt = str(tmp_path / "ckpt")
+
+    r1 = run_resumable(
+        spark, transcripts_df, out, ckpt,
+        n_buckets=8, buckets_per_wave=4, max_waves=1, run_id="r1",
+    )
+    assert len(r1.processed_buckets) == 4
+
+    # simulate the next wave dying mid-write: plant garbage partial output
+    # for a NOT-yet-checkpointed bucket
+    victim = next(b for b in range(8) if b not in r1.processed_buckets)
+    part_dir = os.path.join(out, f"bucket={victim}")
+    os.makedirs(part_dir, exist_ok=True)
+    # duplicate rows stolen from a completed bucket = worst-case garbage
+    done_dir = os.path.join(out, f"bucket={r1.processed_buckets[0]}")
+    src = next(f for f in os.listdir(done_dir) if f.endswith(".parquet"))
+    import shutil
+
+    shutil.copy(os.path.join(done_dir, src), os.path.join(part_dir, src))
+    n_garbage = spark.read.parquet(part_dir).count()
+    assert n_garbage > 0
+
+    r2 = run_resumable(
+        spark, transcripts_df, out, ckpt,
+        n_buckets=8, buckets_per_wave=8, run_id="r2",
+    )
+    assert victim in r2.processed_buckets
+
+    # output must equal a clean run: the garbage was overwritten, not merged
+    import pandas as pd
+
+    resumed = (
+        spark.read.parquet(out)
+        .select("conv_id", "turn_idx", "node_idx", "text")
+        .orderBy("conv_id", "turn_idx", "node_idx")
+        .toPandas()
+    )
+    clean_out, clean_ckpt = str(tmp_path / "clean"), str(tmp_path / "cckpt")
+    run_resumable(
+        spark, transcripts_df, clean_out, clean_ckpt,
+        n_buckets=8, buckets_per_wave=8, run_id="c",
+    )
+    clean = (
+        spark.read.parquet(clean_out)
+        .select("conv_id", "turn_idx", "node_idx", "text")
+        .orderBy("conv_id", "turn_idx", "node_idx")
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(resumed, clean)
