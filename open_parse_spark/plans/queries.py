@@ -1764,6 +1764,56 @@ FROM s2 JOIN s3 USING (doc_id)
 """
 
 
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus statistics with EXACT discrete percentiles
+    (value at rank ceil(q*n), integer rank arithmetic — engine-portable,
+    unlike interpolated percentile_cont/approx variants).  One shuffle on
+    the stratum key; the rank window rides the same partitioning."""
+    from pyspark.sql.window import Window
+
+    sized = _tbl(spark, sf_dir, "documents").select(
+        "lang", T.word_count(F.col("text")).alias("wc")
+    )
+    w = Window.partitionBy("lang").orderBy("wc")
+    ranked = sized.select(
+        "lang",
+        "wc",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("lang")).alias("n"),
+    )
+    return ranked.groupBy("lang").agg(
+        F.max("n").cast("long").alias("n_docs"),
+        F.sum("wc").cast("long").alias("total_words"),
+        F.max(
+            F.when(F.col("rn") == F.floor((F.col("n") + 1) / 2), F.col("wc"))
+        ).cast("long").alias("p50_words"),
+        F.max(
+            F.when(F.col("rn") == F.floor((9 * F.col("n") + 9) / 10), F.col("wc"))
+        ).cast("long").alias("p90_words"),
+        F.max("wc").cast("long").alias("max_words"),
+    )
+
+
+SQL_CORPUS_STATS = """
+WITH sized AS (
+  SELECT lang, len(regexp_extract_all(text, '[A-Za-z0-9]+'))::BIGINT AS wc
+  FROM documents
+), ranked AS (
+  SELECT lang, wc,
+         row_number() OVER (PARTITION BY lang ORDER BY wc) AS rn,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM sized
+)
+SELECT lang,
+       max(n)::BIGINT AS n_docs,
+       sum(wc)::BIGINT AS total_words,
+       max(CASE WHEN rn = (n + 1) // 2 THEN wc END)::BIGINT AS p50_words,
+       max(CASE WHEN rn = (9 * n + 9) // 10 THEN wc END)::BIGINT AS p90_words,
+       max(wc)::BIGINT AS max_words
+FROM ranked GROUP BY lang
+"""
+
+
 def q_training_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The whole curation pipeline as ONE query — what actually runs before
     tokenization at 100 TB: hold out the benchmark slice, then per training
@@ -1966,6 +2016,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "sample_stratified": (q_sample_stratified, SQL_SAMPLE_STRATIFIED),
     "quality_repetition": (q_quality_repetition, SQL_QUALITY_REPETITION),
     "training_pipeline_full": (q_training_pipeline_full, SQL_TRAINING_PIPELINE_FULL),
+    "corpus_stats": (q_corpus_stats, SQL_CORPUS_STATS),
 }
 
 
