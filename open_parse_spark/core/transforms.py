@@ -182,6 +182,7 @@ def combine_nodes_spatially(
 
     both_small = criteria == "both_small"
     either_stub = criteria == "either_stub"
+    xm, ym = x_error_margin, y_error_margin
 
     def process(nodes: List[Node]) -> List[Node]:
         combined_nodes: List[Node] = []
@@ -189,11 +190,17 @@ def combine_nodes_spatially(
             combined = False
             # criteria is evaluated before the (expensive) overlap test —
             # same boolean AND as the reference, short-circuited cheap-first
-            cur_small = both_small and current_node.is_small
             cur_stub = either_stub and current_node.is_stub
-            if both_small and not cur_small:
+            if both_small and not current_node.is_small:
                 combined_nodes.append(current_node)
                 continue
+            cur_flat = current_node._bbox_flat
+            # single-bbox fast path: the overlap arithmetic inlined (nodes
+            # are overwhelmingly single-page; semantics identical to
+            # Node.overlaps)
+            single = cur_flat[0] if len(cur_flat) == 1 else None
+            if single is not None:
+                page, x0, y0, x1, y1 = single
             for i, target_node in enumerate(combined_nodes):
                 if both_small:
                     criteria_bool = target_node.is_small
@@ -201,15 +208,30 @@ def combine_nodes_spatially(
                     criteria_bool = cur_stub or target_node.is_stub
                 else:
                     criteria_bool = False
-                if criteria_bool and current_node.overlaps(
-                    target_node, x_error_margin, y_error_margin
-                ):
-                    # Node.__add__ == Node(target.elements + current.elements)
-                    # (reference basic_transforms.py:319-320) with derived
-                    # state pre-seeded from the parents' caches
-                    combined_nodes[i] = target_node + current_node
-                    combined = True
-                    break
+                if not criteria_bool:
+                    continue
+                if single is not None:
+                    hit = False
+                    for tp, tx0, ty0, tx1, ty1 in target_node._bbox_flat:
+                        if (
+                            tp == page
+                            and x0 - xm <= tx1 + xm
+                            and tx0 - xm <= x1 + xm
+                            and y0 - ym <= ty1 + ym
+                            and ty0 - ym <= y1 + ym
+                        ):
+                            hit = True
+                            break
+                    if not hit:
+                        continue
+                elif not current_node.overlaps(target_node, xm, ym):
+                    continue
+                # Node.__add__ == Node(target.elements + current.elements)
+                # (reference basic_transforms.py:319-320) with derived
+                # state pre-seeded from the parents' caches
+                combined_nodes[i] = target_node + current_node
+                combined = True
+                break
             if not combined:
                 combined_nodes.append(current_node)
         return combined_nodes
