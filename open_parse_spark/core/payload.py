@@ -202,6 +202,54 @@ def _fast_prose_line(bbox, line_text: str) -> LineElement:
     return line
 
 
+class ProseTextElement(TextElement):
+    """TextElement whose LineElements are materialized lazily.
+
+    The prose layout is fully determined by (raw_lines, y1), and the hot
+    path never reads ``.lines`` on prose (``is_heading``/``is_bold`` are
+    identically False: every prose line is one regular 11 pt span, and a
+    paragraph always has >= 1 line, so the reference's ``all(...)`` folds are
+    False) — constructing ~7 LineElement+TextSpan objects per turn for
+    nobody was ~6% of parse CPU.  Any cold-path reader gets lines built by
+    the exact eager construction (``_fast_prose_line``)."""
+
+    __slots__ = ("_prose_spec", "_lines_cache")
+
+    def __init__(self, text: str, bbox: Bbox, prose_spec: tuple):
+        self.text = text
+        self.bbox = bbox
+        self._tokens = None
+        self._prose_spec = prose_spec
+        self._lines_cache = None
+
+    @property
+    def lines(self):
+        if self._lines_cache is None:
+            raw_lines, y1 = self._prose_spec
+            self._lines_cache = tuple(
+                _fast_prose_line(
+                    (
+                        _PROSE_MARGIN_X,
+                        (y1 - i * _PROSE_LINE_HEIGHT) - (_PROSE_LINE_HEIGHT - 2.0),
+                        _PROSE_MARGIN_X
+                        + max(1.0, _PROSE_CHAR_WIDTH * len(line_text)),
+                        y1 - i * _PROSE_LINE_HEIGHT,
+                    ),
+                    line_text,
+                )
+                for i, line_text in enumerate(raw_lines)
+            )
+        return self._lines_cache
+
+    @property
+    def is_heading(self) -> bool:
+        return False
+
+    @property
+    def is_bold(self) -> bool:
+        return False
+
+
 def _prose_to_elements(text: str) -> List[Element]:
     """Deterministic layout of plain prose onto synthetic pages.
 
@@ -209,6 +257,8 @@ def _prose_to_elements(text: str) -> List[Element]:
     chars; y descends from the top margin, new page when the column is full.
     Purely deterministic so the same prose always yields the same layout.
     """
+    from open_parse_spark.core.model import clean_markdown_formatting
+
     elements: List[Element] = []
     page = 0
     y1 = _PROSE_TOP_Y
@@ -230,28 +280,32 @@ def _prose_to_elements(text: str) -> List[Element]:
         if y1 - needed < _PROSE_MIN_Y:
             page += 1
             y1 = _PROSE_TOP_Y
-        lines = []
-        for i, line_text in enumerate(raw_lines):
-            ly1 = y1 - i * _PROSE_LINE_HEIGHT
-            ly0 = ly1 - (_PROSE_LINE_HEIGHT - 2.0)
-            lx1 = _PROSE_MARGIN_X + max(1.0, _PROSE_CHAR_WIDTH * len(line_text))
-            lines.append(
-                _fast_prose_line((_PROSE_MARGIN_X, ly0, lx1, ly1), line_text)
-            )
-        x0, y0, x1, ey1 = get_lines_bbox(lines)
+        # bbox fold computed arithmetically with the SAME per-line
+        # expressions the lazy line builder uses (get_lines_bbox equality):
+        # x0 = margin; y1 = first line's top; y0 = last line's bottom;
+        # x1 = max per-line right edge
+        n = len(raw_lines)
+        ly1_last = y1 - (n - 1) * _PROSE_LINE_HEIGHT
+        y0 = ly1_last - (_PROSE_LINE_HEIGHT - 2.0)
+        x1 = max(
+            _PROSE_MARGIN_X + max(1.0, _PROSE_CHAR_WIDTH * len(t))
+            for t in raw_lines
+        )
         elements.append(
-            TextElement(
-                text="\n".join(line.text for line in lines),
-                lines=tuple(lines),
+            ProseTextElement(
+                text="\n".join(
+                    clean_markdown_formatting(t) for t in raw_lines
+                ),
                 bbox=Bbox(
                     page=page,
                     page_width=DEFAULT_PAGE_WIDTH,
                     page_height=DEFAULT_PAGE_HEIGHT,
-                    x0=x0,
+                    x0=_PROSE_MARGIN_X,
                     y0=y0,
                     x1=x1,
-                    y1=ey1,
+                    y1=y1,
                 ),
+                prose_spec=(tuple(raw_lines), y1),
             )
         )
         y1 = y0 - _PROSE_PARA_GAP

@@ -65,6 +65,11 @@ def remove_text_inside_tables(nodes: List[Node]) -> List[Node]:
                     table_element.bbox
                 )
 
+    if not tables_by_page:
+        # no tables in the turn (the common case): nothing can be removed —
+        # identical to running the loop below, which would keep every node
+        return list(nodes)
+
     updated_nodes: List[Node] = []
     for node in nodes:
         if node.variant == frozenset({"table"}):
