@@ -59,7 +59,10 @@ def main(argv=None) -> int:
     kp = sub.add_parser(
         "pack", help="greedy sequence packing into fixed-size context bins"
     )
-    kp.add_argument("--input", required=True, help="parquet with (doc_id, text)")
+    kp.add_argument(
+        "--input", required=True,
+        help="parquet with (doc_id, text) plus the shard column",
+    )
     kp.add_argument("--output", required=True)
     kp.add_argument("--capacity", type=int, default=512)
     kp.add_argument("--shard-col", default="source")
@@ -68,7 +71,10 @@ def main(argv=None) -> int:
     mp = sub.add_parser(
         "sample", help="deterministic stratified sample (exact per-stratum quota)"
     )
-    mp.add_argument("--input", required=True, help="parquet with (doc_id, text)")
+    mp.add_argument(
+        "--input", required=True,
+        help="parquet with (doc_id, text) plus the stratum column",
+    )
     mp.add_argument("--output", required=True)
     mp.add_argument("--num", type=int, default=1, help="quota numerator")
     mp.add_argument("--den", type=int, default=5, help="quota denominator")

@@ -77,8 +77,9 @@ def fingerprint(col: Column) -> Column:
     return F.md5(normalized_text(col))
 
 
-def word_ngrams(col: Column, n: int = 3) -> Column:
-    """Distinct word n-grams as an array column, built JVM-side.
+def word_ngrams_all(col: Column, n: int = 3) -> Column:
+    """ALL word n-grams (non-distinct, in order) as an array column, built
+    JVM-side.
 
     Built with ``zip_with`` chains instead of ``transform(sequence(...),
     lambda i: element_at(words, ...))``: higher-order-function lambdas are
@@ -93,24 +94,12 @@ def word_ngrams(col: Column, n: int = 3) -> Column:
         gram = F.zip_with(
             gram, F.slice(w, j, big), lambda x, y: F.concat_ws(" ", x, y)
         )
-    gram = F.slice(gram, 1, F.greatest(F.size(w) - (n - 1), F.lit(0)))
-    return F.array_distinct(gram)
-
-
-def word_ngrams_all(col: Column, n: int = 3) -> Column:
-    """ALL word n-grams (non-distinct, in order) as an array column.
-
-    Same zip_with construction as ``word_ngrams`` (see its docstring for why
-    not transform+sequence) without the final dedup — repetition metrics need
-    occurrence counts, not the distinct gram set."""
-    w = words(col)
-    big = 1 << 30
-    gram = w
-    for j in range(2, n + 1):
-        gram = F.zip_with(
-            gram, F.slice(w, j, big), lambda x, y: F.concat_ws(" ", x, y)
-        )
     return F.slice(gram, 1, F.greatest(F.size(w) - (n - 1), F.lit(0)))
+
+
+def word_ngrams(col: Column, n: int = 3) -> Column:
+    """Distinct word n-grams (set semantics — dedup/contamination ops)."""
+    return F.array_distinct(word_ngrams_all(col, n))
 
 
 # PII patterns restricted to the Java-regex / RE2 common subset so the

@@ -181,6 +181,8 @@ def kmeans_centroids(
         )
     )
     dim = _dim_of(embeddings, vec_col)  # one driver read, hoisted out of Lloyd
+    if dim == 0:  # empty corpus: no centroids (schema-stable empty frame)
+        return init
     centroids = init
     for _ in range(iters):
         assigned = _assign_to_centroids(c, centroids)
@@ -208,7 +210,7 @@ def _dim_of(embeddings: DataFrame, vec_col: str) -> int:
     f = embeddings.schema[vec_col]
     if isinstance(f.dataType, ArrayType):
         row = embeddings.select(F.size(vec_col).alias("n")).first()
-        return int(row["n"])
+        return int(row["n"]) if row is not None else 0
     raise ValueError(f"{vec_col} is not an array column")
 
 
@@ -226,6 +228,10 @@ def _assign_to_centroids(c: DataFrame, centroids: DataFrame) -> DataFrame:
     from pyspark.sql.types import LongType
 
     rows = sorted(centroids.collect(), key=lambda r: r["centroid_id"])
+    if not rows:  # empty corpus/centroids: no assignments (lazy empty frame)
+        return c.select(
+            "id", "v", F.lit(None).cast("long").alias("centroid_id")
+        ).where(F.lit(False))
     ids = np.array([r["centroid_id"] for r in rows], dtype=np.int64)
     mat = np.array([r["centroid"] for r in rows], dtype=np.float64)  # (k, dim)
     sq = (mat * mat).sum(axis=1)  # |c|^2, (k,)

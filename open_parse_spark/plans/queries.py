@@ -1650,7 +1650,7 @@ WITH RECURSIVE sized AS (
               ELSE st.bin_id + 1 END,
          CASE WHEN st.bin_fill + s.n_words <= 512 THEN st.bin_fill + s.n_words
               ELSE s.n_words END
-  FROM st JOIN sized s ON s.shard = st.shard AND s.rn = st.rn + 1
+  FROM st JOIN sized s ON s.shard IS NOT DISTINCT FROM st.shard AND s.rn = st.rn + 1
 )
 SELECT doc_id, shard, n_words, bin_id, bin_fill FROM st
 """
@@ -1671,7 +1671,7 @@ WITH ranked AS (
   SELECT doc_id, lang AS stratum,
          row_number() OVER (
            PARTITION BY lang
-           ORDER BY md5(doc_id::VARCHAR || ':' || text) ASC, doc_id ASC
+           ORDER BY md5(concat_ws(':', doc_id::VARCHAR, text)) ASC, doc_id ASC
          )::BIGINT AS sample_rank,
          count(*) OVER (PARTITION BY lang)::BIGINT AS stratum_n
   FROM documents
@@ -1715,8 +1715,20 @@ def q_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     two = gram_stats(2, top=True)
     three = gram_stats(3, top=False)
+    base = docs.select("doc_id")
+    joined = (
+        base.join(two, "doc_id", "left")
+        .join(three, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("top2"), F.lit(0)).alias("top2"),
+            F.coalesce(F.col("n2"), F.lit(0)).alias("n2"),
+            F.coalesce(F.col("dup3"), F.lit(0)).alias("dup3"),
+            F.coalesce(F.col("n3"), F.lit(0)).alias("n3"),
+        )
+    )
     return (
-        two.join(three, "doc_id")
+        joined
         .select(
             "doc_id",
             F.col("top2").cast("long").alias("top2"),
@@ -1734,6 +1746,8 @@ def q_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_QUALITY_REPETITION = """
+-- every doc is audited: docs too short for grams get zero counts (and thus
+-- pass the repetition rules vacuously) instead of vanishing from the output
 WITH w AS (
   SELECT doc_id, list_transform(regexp_extract_all(text, '[A-Za-z0-9]+'), x -> lower(x)) AS ws
   FROM documents
@@ -1756,11 +1770,14 @@ WITH w AS (
   FROM (SELECT doc_id, gram, count(*) AS cnt FROM g3 GROUP BY 1, 2)
   GROUP BY doc_id
 )
-SELECT doc_id, top2, n2, dup3, n3,
-       (5 * top2 <= n2) AS top2_ok,
-       (2 * dup3 <= n3) AS dup3_ok,
-       (5 * top2 <= n2 AND 2 * dup3 <= n3) AS keep
-FROM s2 JOIN s3 USING (doc_id)
+SELECT d.doc_id,
+       coalesce(top2, 0)::BIGINT AS top2, coalesce(n2, 0)::BIGINT AS n2,
+       coalesce(dup3, 0)::BIGINT AS dup3, coalesce(n3, 0)::BIGINT AS n3,
+       (5 * coalesce(top2, 0) <= coalesce(n2, 0)) AS top2_ok,
+       (2 * coalesce(dup3, 0) <= coalesce(n3, 0)) AS dup3_ok,
+       (5 * coalesce(top2, 0) <= coalesce(n2, 0)
+        AND 2 * coalesce(dup3, 0) <= coalesce(n3, 0)) AS keep
+FROM documents d LEFT JOIN s2 USING (doc_id) LEFT JOIN s3 USING (doc_id)
 """
 
 
@@ -1916,8 +1933,10 @@ WITH train AS (
   FROM (SELECT doc_id, gram, count(*) AS cnt FROM rg3 GROUP BY 1, 2)
   GROUP BY doc_id
 ), rep AS (
-  SELECT doc_id, (5 * top2 <= n2 AND 2 * dup3 <= n3) AS rep_ok
-  FROM rs2 JOIN rs3 USING (doc_id)
+  SELECT t.doc_id,
+         (5 * coalesce(top2, 0) <= coalesce(n2, 0)
+          AND 2 * coalesce(dup3, 0) <= coalesce(n3, 0)) AS rep_ok
+  FROM train t LEFT JOIN rs2 USING (doc_id) LEFT JOIN rs3 USING (doc_id)
 ), dw AS (
   SELECT doc_id, list_transform(regexp_extract_all(text, '[A-Za-z0-9]+'), x -> lower(x)) AS ws
   FROM documents

@@ -141,6 +141,9 @@ def test_quality_repetition_flags(spark):
         (1, "a b a b a b", "en", "s", 11),
         # all distinct words: top2=1, dup3=0
         (2, "one two three four five six", "en", "s", 27),
+        # too short for ANY gram: must still be audited (zero counts, keep)
+        (3, "hi", "en", "s", 2),
+        (4, "", "en", "s", 0),
     ]
     with tempfile.TemporaryDirectory() as d:
         _docs(spark, rows).coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
@@ -150,3 +153,8 @@ def test_quality_repetition_flags(spark):
     assert not out[1]["top2_ok"] and not out[1]["dup3_ok"] and not out[1]["keep"]
     assert out[2]["top2"] == 1 and out[2]["dup3"] == 0
     assert out[2]["top2_ok"] and out[2]["dup3_ok"] and out[2]["keep"]
+    # sub-gram docs are audited, not dropped: zero counts, vacuous pass
+    for short_id in (3, 4):
+        assert short_id in out
+        assert out[short_id]["n2"] == 0 and out[short_id]["n3"] == 0
+        assert out[short_id]["keep"]
