@@ -71,7 +71,8 @@ def pack_sequences(
     sized = df.select(
         F.col(id_col).cast("long").alias("doc_id"),
         F.col(shard_col).alias("shard"),
-        word_count(F.col(text_col)).alias("n_words"),
+        # NULL text counts as 0 words (size(NULL) is NULL in Spark 3+)
+        F.coalesce(word_count(F.col(text_col)), F.lit(0)).alias("n_words"),
     )
     return sized.groupBy("shard").applyInPandas(
         _pack_shard(capacity), schema=_OUT_SCHEMA

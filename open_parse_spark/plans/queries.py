@@ -465,7 +465,11 @@ def q_op_reading_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     docs = _tbl(spark, sf_dir, "documents")
-    w = Window.orderBy(F.col("source"), F.col("n_chars").desc(), F.col("doc_id"))
+    w = Window.orderBy(
+        F.col("source").asc_nulls_first(),
+        F.col("n_chars").desc_nulls_last(),
+        F.col("doc_id"),
+    )
     return docs.select(
         "doc_id", F.row_number().over(w).cast("long").alias("rord")
     )
@@ -473,7 +477,9 @@ def q_op_reading_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_OP_READING_ORDER = """
 SELECT doc_id,
-       row_number() OVER (ORDER BY source, n_chars DESC, doc_id) AS rord
+       row_number() OVER (
+         ORDER BY source ASC NULLS FIRST, n_chars DESC NULLS LAST, doc_id
+       ) AS rord
 FROM documents
 """
 
@@ -1263,7 +1269,8 @@ WITH t AS (
 )
 SELECT conv_id,
        count(*) AS n_turns,
-       string_agg(text, chr(10) || chr(10) ORDER BY turn_idx) AS conversation_text
+       coalesce(string_agg(text, chr(10) || chr(10) ORDER BY turn_idx), '')
+         AS conversation_text
 FROM t GROUP BY conv_id
 """
 
@@ -1293,12 +1300,20 @@ def q_export_relations_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.max("node_idx") + 1 == F.count(F.lit(1)))
         ).alias("contiguous"),
     )
-    return per_doc.groupBy("conv_id").agg(
+    per_conv = per_doc.groupBy("conv_id").agg(
         F.bool_and("one_head").alias("one_head"),
         F.bool_and("one_tail").alias("one_tail"),
         F.bool_and("ids_unique").alias("ids_unique"),
         F.bool_and("one_parent").alias("one_parent"),
         F.bool_and("contiguous").alias("contiguous"),
+    )
+    # conversations whose turns all parse to zero nodes (empty/whitespace
+    # payloads) satisfy every invariant vacuously — keep them in the report
+    convs = transcripts.select("conv_id").distinct()
+    flags = ["one_head", "one_tail", "ids_unique", "one_parent", "contiguous"]
+    return convs.join(per_conv, "conv_id", "left").select(
+        "conv_id",
+        *[F.coalesce(F.col(c), F.lit(True)).alias(c) for c in flags],
     )
 
 
@@ -1342,7 +1357,7 @@ WITH t AS (
 {_CONV_SQL_BASE}
 ), assembled AS (
   SELECT conv_id,
-         string_agg(text, chr(10) ORDER BY turn_idx) AS conv_text
+         coalesce(string_agg(text, chr(10) ORDER BY turn_idx), '') AS conv_text
   FROM t GROUP BY conv_id
 )
 SELECT md5(trim(regexp_replace(lower(conv_text), '[^a-z0-9]+', ' ', 'g'))) AS conv_fp,
@@ -1422,7 +1437,7 @@ def q_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     < 10%, and >=2 English stopwords.  Emits the per-rule flags so a
     pipeline can audit WHY a document was dropped."""
     docs = _tbl(spark, sf_dir, "documents")
-    t = F.col("text")
+    t = F.coalesce(F.col("text"), F.lit(""))  # NULL text audits as empty
     n_words = T.word_count(t)
     # strip on RAW text (Java lower('İ') adds a combining char, changing
     # length vs DuckDB's lower — dialect note in functions/text.py)
@@ -1459,10 +1474,10 @@ def q_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_QUALITY_GOPHER = """
 WITH m AS (
   SELECT doc_id,
-         len(list_transform(regexp_extract_all(text, '[A-Za-z0-9]+'), w -> lower(w)))::BIGINT AS n_words,
-         length(regexp_replace(text, '[^A-Za-z0-9]+', '', 'g'))::BIGINT AS word_chars,
-         len(regexp_extract_all(text, '[#$%^~]'))::BIGINT AS n_symbols,
-         len(regexp_extract_all(text, '(?i)\\b(the|a|and|of|to|is|in)\\b'))::BIGINT AS n_stop
+         len(list_transform(regexp_extract_all(coalesce(text, ''), '[A-Za-z0-9]+'), w -> lower(w)))::BIGINT AS n_words,
+         length(regexp_replace(coalesce(text, ''), '[^A-Za-z0-9]+', '', 'g'))::BIGINT AS word_chars,
+         len(regexp_extract_all(coalesce(text, ''), '[#$%^~]'))::BIGINT AS n_symbols,
+         len(regexp_extract_all(coalesce(text, ''), '(?i)\\b(the|a|and|of|to|is|in)\\b'))::BIGINT AS n_stop
   FROM documents
 )
 SELECT doc_id,
@@ -1639,7 +1654,7 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_PACK_SEQUENCES = """
 WITH RECURSIVE sized AS (
   SELECT doc_id::BIGINT AS doc_id, source AS shard,
-         len(regexp_extract_all(text, '[A-Za-z0-9]+'))::BIGINT AS n_words,
+         coalesce(len(regexp_extract_all(text, '[A-Za-z0-9]+')), 0)::BIGINT AS n_words,
          row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
   FROM documents
 ), st(shard, rn, doc_id, n_words, bin_id, bin_fill) AS (
@@ -1789,7 +1804,8 @@ def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     sized = _tbl(spark, sf_dir, "documents").select(
-        "lang", T.word_count(F.col("text")).alias("wc")
+        "lang",
+        F.coalesce(T.word_count(F.col("text")), F.lit(0)).alias("wc"),
     )
     w = Window.partitionBy("lang").orderBy("wc")
     ranked = sized.select(
@@ -1813,7 +1829,8 @@ def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_CORPUS_STATS = """
 WITH sized AS (
-  SELECT lang, len(regexp_extract_all(text, '[A-Za-z0-9]+'))::BIGINT AS wc
+  SELECT lang,
+         coalesce(len(regexp_extract_all(text, '[A-Za-z0-9]+')), 0)::BIGINT AS wc
   FROM documents
 ), ranked AS (
   SELECT lang, wc,
@@ -1900,10 +1917,10 @@ WITH train AS (
     FROM lscores) t WHERE rn = 1
 ), gm AS (
   SELECT doc_id,
-         len(list_transform(regexp_extract_all(text, '[A-Za-z0-9]+'), w -> lower(w)))::BIGINT AS n_words,
-         length(regexp_replace(text, '[^A-Za-z0-9]+', '', 'g'))::BIGINT AS word_chars,
-         len(regexp_extract_all(text, '[#$%^~]'))::BIGINT AS n_symbols,
-         len(regexp_extract_all(text, '(?i)\\b(the|a|and|of|to|is|in)\\b'))::BIGINT AS n_stop
+         len(list_transform(regexp_extract_all(coalesce(text, ''), '[A-Za-z0-9]+'), w -> lower(w)))::BIGINT AS n_words,
+         length(regexp_replace(coalesce(text, ''), '[^A-Za-z0-9]+', '', 'g'))::BIGINT AS word_chars,
+         len(regexp_extract_all(coalesce(text, ''), '[#$%^~]'))::BIGINT AS n_symbols,
+         len(regexp_extract_all(coalesce(text, ''), '(?i)\\b(the|a|and|of|to|is|in)\\b'))::BIGINT AS n_stop
   FROM train
 ), gopher AS (
   SELECT doc_id,
