@@ -244,6 +244,7 @@ def main() -> None:
         "sample_stratified",
         "quality_repetition",
         "training_pipeline_full",
+        "html_extract",
     ]
 
     query_secs: dict[str, float] = {}

@@ -332,6 +332,17 @@ def decode_payload(text: Optional[str], tool: Optional[str]) -> List[Element]:
                 for page_obj in obj["pages"]:
                     elements.extend(_decode_page_elements(page_obj))
                 continue
+        elif stripped[:1] == "<":
+            # HTML turn: DOM boilerplate strip + main-content extraction,
+            # laid out onto the same synthetic pages (core/html.py)
+            from open_parse_spark.core.html import (
+                html_to_elements,
+                looks_like_html,
+            )
+
+            if looks_like_html(stripped):
+                elements.extend(html_to_elements(payload))
+                continue
         # plain prose fallback (only sensible for the text column)
         if payload is text:
             elements.extend(_prose_to_elements(payload))

@@ -1986,6 +1986,162 @@ JOIN decon d USING (doc_id)
 
 
 # ---------------------------------------------------------------------------
+# HTML main-content extraction (north-star "HTML boilerplate strip / DOM
+# heuristics" — core/html.py)
+# ---------------------------------------------------------------------------
+
+# Deterministic chrome template wrapped around each document's text.  Every
+# piece is boilerplate the extractor must drop — <head> (title/style/script),
+# <nav> and <footer> by tag, the sidebar by class token, the sidebar's link
+# list redundantly by link density — while the <article> content (heading +
+# escaped body) must round-trip exactly.  The SAME literal fragments are
+# formatted into both the Spark expression and the DuckDB oracle, so the
+# gate checks the Python DOM extractor against an independent SQL derivation
+# of the expected output.
+_HTML_PRE1 = "<html><head><title>Doc "
+_HTML_PRE2 = (
+    '</title><style>body{margin:0}</style><script>var n=1;</script></head>'
+    '<body><nav class="top-nav"><a href="/">Home</a><a href="/about">About'
+    '</a><a href="/contact">Contact</a></nav><div class="sidebar widget">'
+    '<ul><li><a href="/p1">Related one</a></li><li><a href="/p2">Related '
+    'two</a></li></ul></div><article><h1>Doc '
+)
+_HTML_PRE3 = "</h1><p>"
+_HTML_POST = (
+    '</p></article><footer class="site-footer">Copyright 2026 Example Corp '
+    '<a href="/privacy">Privacy policy</a></footer></body></html>'
+)
+# shared Spark-SQL / DuckDB expression: both engines accept concat(),
+# replace(), and the cast spelled per dialect
+_HTML_ESC = (
+    "replace(replace(replace(coalesce(text, ''),"
+    " '&', '&amp;'), '<', '&lt;'), '>', '&gt;')"
+)
+
+
+def _html_doc_expr(id_cast: str) -> str:
+    return (
+        f"concat('{_HTML_PRE1}', {id_cast}, '{_HTML_PRE2}', {id_cast}, "
+        f"'{_HTML_PRE3}', {_HTML_ESC}, '{_HTML_POST}')"
+    )
+
+
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip gate for the DOM boilerplate stripper: wrap each
+    document's text in the chrome template (JVM-side concat), extract main
+    content in the Arrow batch stage, and emit (heading, body_text,
+    n_blocks).  The oracle derives the expected output straight from the
+    raw text — so every dropped nav/sidebar/footer/head fragment and the
+    exact whitespace-normalized round-trip are value-checked."""
+    import pandas as pd
+
+    docs = _tbl(spark, sf_dir, "documents")
+    src = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.expr(_html_doc_expr("cast(doc_id as string)")).alias("html"),
+    )
+
+    def extract(batches):
+        from open_parse_spark.core.html import extract_main_blocks
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids, heads, bodies, counts = [], [], [], []
+            for doc_id, html in zip(pdf["doc_id"], pdf["html"]):
+                blocks = extract_main_blocks(html)
+                ids.append(doc_id)
+                heads.append(
+                    "\n".join(
+                        b["text"] for b in blocks if b["kind"] == "heading"
+                    )
+                )
+                bodies.append(
+                    "\n\n".join(
+                        b["text"] for b in blocks if b["kind"] != "heading"
+                    )
+                )
+                counts.append(len(blocks))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "heading": heads,
+                    "body_text": bodies,
+                    "n_blocks": counts,
+                }
+            )
+
+    return src.mapInPandas(
+        extract, "doc_id long, heading string, body_text string, n_blocks long"
+    )
+
+
+SQL_HTML_EXTRACT = r"""
+WITH n AS (
+  SELECT doc_id,
+         trim(regexp_replace(coalesce(text, ''), '[ \t\n\r\f]+', ' ', 'g'), ' ') AS body
+  FROM documents
+)
+SELECT doc_id::BIGINT AS doc_id,
+       'Doc ' || doc_id::VARCHAR AS heading,
+       body AS body_text,
+       (CASE WHEN body = '' THEN 1 ELSE 2 END)::BIGINT AS n_blocks
+FROM n
+"""
+
+
+def q_html_boilerplate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JVM-side HTML link/tag metrics over the same constructed pages — the
+    cheap codegen pre-filter a 100 TB pipeline runs BEFORE the Python DOM
+    stage (route link-dense or text-empty pages away from the expensive
+    extractor).  Pure pyspark.sql.functions; the oracle runs the identical
+    regexes in DuckDB."""
+    docs = _tbl(spark, sf_dir, "documents")
+    src = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.expr(_html_doc_expr("cast(doc_id as string)")).alias("html"),
+    )
+    m = src.select(
+        "doc_id",
+        F.expr(
+            "cast(size(regexp_extract_all(html, '<a [^>]*>', 0)) as long)"
+        ).alias("n_links"),
+        F.expr(
+            "cast(length(array_join("
+            "regexp_extract_all(html, '<a [^>]*>([^<]*)</a>', 1), '')) as long)"
+        ).alias("link_text_chars"),
+        F.expr(
+            "cast(length(regexp_replace(html, '<[^>]+>', '')) as long)"
+        ).alias("text_chars"),
+    )
+    return m.withColumn(
+        "link_density_pm",
+        F.expr(
+            "cast(link_text_chars * 1000 div greatest(text_chars, 1) as long)"
+        ),
+    )
+
+
+SQL_HTML_BOILERPLATE_STATS = f"""
+WITH h AS (
+  SELECT doc_id, {_html_doc_expr("doc_id::VARCHAR")} AS html FROM documents
+), m AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         len(regexp_extract_all(html, '<a [^>]*>'))::BIGINT AS n_links,
+         length(array_to_string(
+           regexp_extract_all(html, '<a [^>]*>([^<]*)</a>', 1), ''))::BIGINT
+           AS link_text_chars,
+         length(regexp_replace(html, '<[^>]+>', '', 'g'))::BIGINT AS text_chars
+  FROM h
+)
+SELECT doc_id, n_links, link_text_chars, text_chars,
+       (link_text_chars * 1000 // greatest(text_chars, 1))::BIGINT
+         AS link_density_pm
+FROM m
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -2053,6 +2209,11 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "quality_repetition": (q_quality_repetition, SQL_QUALITY_REPETITION),
     "training_pipeline_full": (q_training_pipeline_full, SQL_TRAINING_PIPELINE_FULL),
     "corpus_stats": (q_corpus_stats, SQL_CORPUS_STATS),
+    "html_extract": (q_html_extract, SQL_HTML_EXTRACT),
+    "html_boilerplate_stats": (
+        q_html_boilerplate_stats,
+        SQL_HTML_BOILERPLATE_STATS,
+    ),
 }
 
 

@@ -1,0 +1,153 @@
+"""HTML main-content extraction (core/html.py): boilerplate strip, DOM
+heuristics, link-density pruning, node-pipeline integration.
+
+The north-star pipeline ingests HTML turns alongside the JSON layout
+payloads; the reference (Filimoa/open-parse) has no HTML path, so these are
+behavior-defining tests, not ported goldens."""
+
+from open_parse_spark.core.html import (
+    extract_main_blocks,
+    html_to_elements,
+    looks_like_html,
+)
+from open_parse_spark.core.parse import parse_turn
+
+CHROME_PAGE = (
+    '<html><head><title>T</title><style>p{color:red}</style>'
+    '<script>if(1<2){document.write("<p>fake</p>")}</script></head><body>'
+    '<nav><a href="/">Home</a><a href="/x">X</a></nav>'
+    '<header><h1>Site name</h1></header>'
+    '<div class="sidebar"><ul><li><a href="/a">A</a></li></ul></div>'
+    '<article><h2>Real title</h2><p>Real content paragraph.</p></article>'
+    '<aside>Related stories</aside>'
+    '<footer>Copyright</footer></body></html>'
+)
+
+
+def test_chrome_is_dropped_content_kept():
+    blocks = extract_main_blocks(CHROME_PAGE)
+    assert [(b["kind"], b["text"]) for b in blocks] == [
+        ("heading", "Real title"),
+        ("text", "Real content paragraph."),
+    ]
+
+
+def test_script_content_never_leaks():
+    # the classic trap: markup inside a script string
+    blocks = extract_main_blocks(CHROME_PAGE)
+    assert all("fake" not in b["text"] for b in blocks)
+
+
+def test_boilerplate_class_tokens_prune_subtree():
+    html = (
+        '<div class="content-ad banner"><p>Buy now!</p></div>'
+        '<div id="main-menu"><p>Products</p></div>'
+        "<p>Kept paragraph here.</p>"
+    )
+    blocks = extract_main_blocks(html)
+    assert [b["text"] for b in blocks] == ["Kept paragraph here."]
+
+
+def test_link_density_prunes_short_link_blocks():
+    nav = (
+        '<div><a href="/1">One</a> <a href="/2">Two</a> <a href="/3">Three</a></div>'
+        "<p>" + "genuine article words " * 12 + "</p>"
+    )
+    blocks = extract_main_blocks(nav)
+    assert len(blocks) == 1 and blocks[0]["text"].startswith("genuine")
+
+
+def test_link_density_spares_long_link_rich_paragraphs():
+    words = "see the reference documentation for details " * 10  # >=40 words
+    html = f'<p><a href="/ref">{words}</a></p>'
+    blocks = extract_main_blocks(html)
+    assert len(blocks) == 1
+
+
+def test_entities_unescaped_and_whitespace_normalized():
+    html = "<p>a &amp; b &lt;tag&gt;\n\t  c</p>"
+    blocks = extract_main_blocks(html)
+    assert blocks[0]["text"] == "a & b <tag> c"
+
+
+def test_table_headers_rows_and_nested_table_flattened():
+    html = (
+        "<table><tr><th>h1</th><th>h2</th></tr>"
+        "<tr><td>a</td><td><table><tr><td>inner</td></tr></table></td></tr>"
+        "</table>"
+    )
+    (b,) = extract_main_blocks(html)
+    assert b["kind"] == "table"
+    assert b["headers"] == ["h1", "h2"]
+    assert b["rows"] == [["a", "inner"]]
+
+
+def test_list_items_become_bullet_lines():
+    html = "<ol><li>first</li><li>second <b>bold</b></li></ol>"
+    (b,) = extract_main_blocks(html)
+    assert b["text"] == "- first\n- second bold"
+
+
+def test_malformed_html_never_raises():
+    for junk in (
+        "<",
+        "<x",
+        "<<<>>>",
+        "<p><b>unclosed everywhere",
+        "<table><tr><td>eof-in-cell",
+        "<ul><li>eof-in-item",
+        "</div></p></html>",
+        "<!-- only a comment -->",
+        "<p>" + "x" * 100000,
+    ):
+        extract_main_blocks(junk)  # must not raise
+
+
+def test_looks_like_html_dispatch():
+    assert looks_like_html("<html>")
+    assert looks_like_html("<!doctype html>")
+    assert looks_like_html("<p>hi")
+    assert not looks_like_html("{json}")
+    assert not looks_like_html("plain prose")
+    assert not looks_like_html("< 5 and > 3")  # math, not markup
+
+
+def test_headings_map_to_pipeline_heading_elements():
+    els = html_to_elements("<h1>Big</h1><h5>Small</h5><p>body text</p>")
+    assert els[0].text == "**Big**" and els[0].is_heading
+    assert els[1].text == "**Small**" and not els[1].is_heading  # 14pt < 16
+    assert not els[2].is_heading
+
+
+def test_parse_turn_html_end_to_end():
+    html = (
+        "<html><body><nav><a href='/'>Home</a></nav>"
+        "<article><h1>Quarterly Report</h1>"
+        "<p>" + "Revenue grew steadily across all segments this quarter. " * 5
+        + "</p>"
+        "<table><tr><th>Segment</th><th>Growth</th></tr>"
+        "<tr><td>Cloud</td><td>12%</td></tr></table>"
+        "<ul><li>cloud up</li><li>ads down</li></ul></article>"
+        "<footer>contact</footer></body></html>"
+    )
+    nodes = parse_turn(html)
+    assert len(nodes) == 1
+    text = nodes[0].text
+    assert text.startswith("**Quarterly Report**")
+    assert '<table border="1">' in text
+    assert "- cloud up\n- ads down" in text
+    assert "Home" not in text and "contact" not in text
+
+
+def test_parse_turn_html_deterministic():
+    html = "<article><h1>t</h1><p>" + "stable content words " * 30 + "</p></article>"
+    a = [n.text for n in parse_turn(html)]
+    b = [n.text for n in parse_turn(html)]
+    assert a == b
+
+
+def test_non_html_payloads_unaffected():
+    # prose starting with '<' but not tag-like stays on the prose path
+    prose = "< 5% of the corpus is affected. " * 20
+    nodes = parse_turn(prose)
+    assert nodes and nodes[0].text.startswith("< 5%")
