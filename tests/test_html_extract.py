@@ -151,3 +151,49 @@ def test_non_html_payloads_unaffected():
     prose = "< 5% of the corpus is affected. " * 20
     nodes = parse_turn(prose)
     assert nodes and nodes[0].text.startswith("< 5%")
+
+
+def test_parse_transcripts_html_turns_distributed(spark):
+    """HTML turns flow through the distributed Arrow parse exactly like the
+    single-threaded parse_turn path (same code, but this pins the Spark
+    plumbing: schema, batching, ordering)."""
+    import datetime
+
+    import pandas as pd
+
+    from open_parse_spark.spark.pipeline import parse_transcripts
+
+    html_a = (
+        "<html><body><nav><a href='/'>Home</a></nav><article>"
+        "<h1>Doc A</h1><p>" + "alpha content words here. " * 20
+        + "</p></article><footer>foot</footer></body></html>"
+    )
+    html_b = (
+        "<div class='sidebar'><a href='/x'>X</a></div>"
+        "<h2>Doc B</h2><p>" + "beta content words here. " * 20 + "</p>"
+    )
+    rows = [
+        ("c1", 0, "user", html_a, "", datetime.datetime(2026, 1, 1)),
+        ("c1", 1, "assistant", html_b, "", datetime.datetime(2026, 1, 1)),
+        ("c2", 0, "user", "plain prose turn. " * 30, "", datetime.datetime(2026, 1, 1)),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+        )
+    )
+    nodes = (
+        parse_transcripts(df, repartition_for_skew=False)
+        .orderBy("conv_id", "turn_idx", "node_idx")
+        .toPandas()
+    )
+    by_turn = {
+        (r.conv_id, r.turn_idx): r.text for r in nodes.itertuples()
+    }
+    expected_a = [n.text for n in parse_turn(html_a)]
+    assert by_turn[("c1", 0)] == expected_a[0]
+    assert by_turn[("c1", 0)].startswith("**Doc A**")
+    assert "Home" not in by_turn[("c1", 0)]
+    assert by_turn[("c1", 1)].startswith("**Doc B**")
+    assert "X" not in by_turn[("c1", 1)]
+    assert ("c2", 0) in by_turn  # prose path untouched
