@@ -593,3 +593,76 @@ def simhash_candidates(
         .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
         .distinct()
     )
+
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 3,
+    min_chars: int = 5,
+) -> DataFrame:
+    """Corpus-level boilerplate removal: drop LINES repeated across many
+    documents (CCNet / RefinedWeb line-level dedup — nav text, copyright
+    footers, cookie banners survive per-document extraction but repeat
+    across the corpus).
+
+    A line is boilerplate when its space-trimmed form has >= ``min_chars``
+    chars and appears in >= ``min_df`` distinct documents.  Shorter lines
+    (incl. empty spacer lines) are never dropped — they carry structure,
+    not boilerplate.  Output keeps every input document: ``(doc_id,
+    clean_text, n_lines_kept, n_lines_dropped)``, line order preserved.
+
+    Scale shape: explode -> two-level aggregate on the trimmed line (map-
+    side partial) -> join back -> per-doc reassembly.  Two shuffles (line
+    df + doc regroup); the flagged-line relation is naturally small (only
+    lines repeated across >= min_df docs) so AQE broadcasts the anti-join
+    side at runtime — no driver-side collection at any size.  Assumes
+    ``id_col`` uniquely identifies a row (a document table), as reassembly
+    by (doc, pos) requires.
+    """
+    lines = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+        ).alias("pos", "line"),
+    ).withColumn("nline", F.trim(F.col("line")))
+    flagged = (
+        lines.where(F.length("nline") >= min_chars)
+        .groupBy("nline")
+        .agg(F.countDistinct("doc_id").alias("line_df"))
+        .where(F.col("line_df") >= min_df)
+        .select("nline")
+    )
+    kept = lines.join(flagged, "nline", "left_anti")
+    # per-doc line totals straight off the source column — counting via the
+    # exploded relation would re-scan and re-explode the corpus a third time
+    totals = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+        ).alias("n_total"),
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda x: x["line"],
+            ),
+            "\n",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_lines_kept"),
+    )
+    return (
+        totals.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_lines_kept", F.lit(0))
+            .cast("long")
+            .alias("n_lines_kept"),
+            (F.col("n_total") - F.coalesce("n_lines_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_lines_dropped"),
+        )
+    )

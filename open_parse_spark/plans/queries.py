@@ -2141,6 +2141,71 @@ FROM m
 """
 
 
+# corpus-level boilerplate lines: the synthetic documents are single-line,
+# so the registry query injects two deterministic chrome lines around every
+# text (same honest pattern as the HTML template) — the op must drop exactly
+# the corpus-repeated lines and reassemble the rest in order.
+_BOILER_LINE_TOP = "Subscribe to our newsletter today"
+_BOILER_LINE_BOT = "Copyright 2026 Example Corp All rights reserved"
+
+
+def q_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet/RefinedWeb-style line-level boilerplate removal, gate form:
+    every document gets the same two injected chrome lines (corpus df =
+    n_docs >= min_df -> dropped) around its own content line (df usually 1
+    -> kept; exact-duplicate documents share their content line's df, and
+    the oracle computes the same df, so they agree either way)."""
+    docs = _tbl(spark, sf_dir, "documents")
+    wrapped = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit(_BOILER_LINE_TOP + "\n"),
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit("\n" + _BOILER_LINE_BOT),
+        ).alias("text"),
+    )
+    return D.remove_boilerplate_lines(wrapped, min_df=3, min_chars=5).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "clean_text",
+        "n_lines_kept",
+        "n_lines_dropped",
+    )
+
+
+SQL_BOILERPLATE_LINES = f"""
+WITH src AS (
+  SELECT doc_id,
+         '{_BOILER_LINE_TOP}' || chr(10) || coalesce(text, '') || chr(10) ||
+         '{_BOILER_LINE_BOT}' AS mtext
+  FROM documents
+), p AS (
+  SELECT doc_id, string_split(mtext, chr(10)) AS parts FROM src
+), l AS (
+  SELECT doc_id, u.i AS pos, p.parts[u.i] AS line,
+         trim(p.parts[u.i], ' ') AS nline
+  FROM p, unnest(generate_series(1, len(p.parts))) AS u(i)
+), flagged AS (
+  SELECT nline FROM l WHERE length(nline) >= 5
+  GROUP BY nline HAVING count(DISTINCT doc_id) >= 3
+), kept AS (
+  SELECT doc_id, pos, line FROM l
+  WHERE trim(line, ' ') NOT IN (SELECT nline FROM flagged)
+), rebuilt AS (
+  SELECT doc_id,
+         string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+), totals AS (
+  SELECT doc_id, count(*) AS n_total FROM l GROUP BY doc_id
+)
+SELECT t.doc_id::BIGINT AS doc_id,
+       coalesce(r.clean_text, '') AS clean_text,
+       coalesce(r.n_kept, 0)::BIGINT AS n_lines_kept,
+       (t.n_total - coalesce(r.n_kept, 0))::BIGINT AS n_lines_dropped
+FROM totals t LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2214,6 +2279,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
         q_html_boilerplate_stats,
         SQL_HTML_BOILERPLATE_STATS,
     ),
+    "boilerplate_lines": (q_boilerplate_lines, SQL_BOILERPLATE_LINES),
 }
 
 

@@ -126,3 +126,54 @@ def test_tfidf_rank_is_deterministic(spark, tmp_path):
     top1 = out[out["rank"] == 1].set_index("doc_id")["term"]
     assert top1.loc[1] == "zebra"
     assert top1.loc[2] == "yak"
+
+
+def test_remove_boilerplate_lines_semantics(spark):
+    """CCNet-style line-level dedup: corpus-repeated lines drop, short/empty
+    structural lines and unique content survive in order; every doc stays in
+    the output."""
+    import pandas as pd
+
+    from open_parse_spark.operators.dedup import remove_boilerplate_lines
+
+    footer = "Copyright Example Corp"
+    nav = "Home | About | Contact"
+    rows = [
+        (0, f"{nav}\nunique alpha content\n\n{footer}"),
+        (1, f"{nav}\nunique beta content\nok\n{footer}"),
+        (2, f"{nav}\nunique gamma content\n{footer}"),
+        (3, f"{nav}\n{footer}"),  # all-boilerplate doc -> empty
+        (4, "shared twice only\nown words here"),
+        (5, "shared twice only\nother words here"),  # df=2 < min_df=3: kept
+        (6, None),  # NULL text -> one empty line, kept
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text"]).astype(
+            {"doc_id": "int64"}
+        )
+    )
+    out = {
+        r.doc_id: r
+        for r in remove_boilerplate_lines(df, min_df=3, min_chars=5).collect()
+    }
+    assert out[0].clean_text == "unique alpha content\n"  # empty line kept
+    assert out[0].n_lines_kept == 2 and out[0].n_lines_dropped == 2
+    assert out[1].clean_text == "unique beta content\nok"  # "ok" < 5 chars
+    assert out[2].clean_text == "unique gamma content"
+    assert out[3].clean_text == "" and out[3].n_lines_kept == 0
+    assert out[3].n_lines_dropped == 2
+    assert out[4].clean_text == "shared twice only\nown words here"
+    assert out[5].clean_text == "shared twice only\nother words here"
+    assert out[6].clean_text == "" and out[6].n_lines_kept == 1
+    # trimmed-form matching: "  Copyright Example Corp  " drops too
+    df2 = spark.createDataFrame(
+        pd.DataFrame(
+            [(0, f"  {footer}  \nx words enough"), (1, footer), (2, footer)],
+            columns=["doc_id", "text"],
+        ).astype({"doc_id": "int64"})
+    )
+    out2 = {
+        r.doc_id: r
+        for r in remove_boilerplate_lines(df2, min_df=3, min_chars=5).collect()
+    }
+    assert out2[0].clean_text == "x words enough"
