@@ -80,6 +80,39 @@ def _norm(s: str) -> str:
     return _WS_RE.sub(" ", s).strip(" ")
 
 
+def _normalize_runs(raw_runs: List[tuple]) -> List[tuple]:
+    """Collapse whitespace ACROSS style runs so the concatenation of the
+    returned texts equals ``_norm`` of the raw concatenation.  Separator
+    spaces attach to the PRECEDING run (a bold span never starts with the
+    inter-word space, keeping the markdown markers tight)."""
+    out: List[List[Any]] = []  # [text, bold, italic]
+    pending = False
+    for raw, bold, italic in raw_runs:
+        parts = _WS_RE.split(raw)
+        buf: List[str] = []
+        for j, w in enumerate(parts):
+            if j > 0:
+                pending = True
+            if w:
+                if pending and (buf or out):
+                    if buf:
+                        buf.append(" ")
+                    elif (out[-1][1] + out[-1][2]) <= (bold + italic):
+                        # boundary space joins the less-styled side so the
+                        # markdown markers stay tight around styled words
+                        out[-1][0] += " "
+                    else:
+                        buf.append(" ")
+                pending = False
+                buf.append(w)
+        if buf:
+            if out and out[-1][1] == bold and out[-1][2] == italic:
+                out[-1][0] += "".join(buf)
+            else:
+                out.append(["".join(buf), bold, italic])
+    return [(t, b, i) for t, b, i in out]
+
+
 class _MainContentParser(HTMLParser):
     """Single-pass block builder.  Malformed HTML never raises: unclosed
     tags at EOF flush, stray end tags are ignored, void tags don't count
@@ -90,8 +123,11 @@ class _MainContentParser(HTMLParser):
         self.blocks: List[Dict[str, Any]] = []
         self._drop_depth = 0
         self._a_depth = 0
+        self._bold_depth = 0
+        self._italic_depth = 0
         self._heading: str | None = None
-        self._buf: List[str] = []
+        # flowing text accumulates as (chunk, bold, italic) style runs
+        self._buf: List[tuple] = []
         self._link_buf: List[str] = []
         # lists
         self._list_depth = 0
@@ -109,22 +145,25 @@ class _MainContentParser(HTMLParser):
     # -- block assembly ----------------------------------------------------
 
     def _flush_text(self, kind: str = "text", level: int = 0) -> None:
-        text = _norm("".join(self._buf))
+        runs = _normalize_runs(self._buf)
         link_text = _norm("".join(self._link_buf))
         self._buf, self._link_buf = [], []
-        if not text:
+        if not runs:
             return
-        self.blocks.append(
-            {
-                "kind": kind,
-                "text": text,
-                "level": level,
-                "link_chars": len(link_text),
-            }
-        )
+        block = {
+            "kind": kind,
+            "text": "".join(r[0] for r in runs),
+            "level": level,
+            "link_chars": len(link_text),
+        }
+        # inline style runs matter for flowing text (they become TextSpans);
+        # headings are whole-line bold by construction
+        if kind == "text" and any(b or i for _, b, i in runs):
+            block["runs"] = runs
+        self.blocks.append(block)
 
     def _flush_item(self) -> None:
-        text = _norm("".join(self._buf))
+        text = _norm("".join(t for t, _, _ in self._buf))
         link_text = _norm("".join(self._link_buf))
         self._buf, self._link_buf = [], []
         if text:
@@ -219,18 +258,24 @@ class _MainContentParser(HTMLParser):
         if tag == "a":
             self._a_depth += 1
             return
+        if tag in ("b", "strong"):
+            self._bold_depth += 1
+            return
+        if tag in ("i", "em"):
+            self._italic_depth += 1
+            return
         if tag == "br":
-            self._buf.append(" ")
+            self._append_data(" ")
             return
         if tag in _BLOCK_TAGS:
             if self._list_depth:  # block tag inside an <li>: soft separator
-                self._buf.append(" ")
+                self._append_data(" ")
             else:
                 self._flush_text()
 
     def handle_startendtag(self, tag, attrs):
         if tag == "br" and not self._drop_depth:
-            self._buf.append(" ")
+            self._append_data(" ")
 
     def handle_endtag(self, tag):
         if self._drop_depth:
@@ -277,11 +322,24 @@ class _MainContentParser(HTMLParser):
             if self._a_depth:
                 self._a_depth -= 1
             return
+        if tag in ("b", "strong"):
+            if self._bold_depth:
+                self._bold_depth -= 1
+            return
+        if tag in ("i", "em"):
+            if self._italic_depth:
+                self._italic_depth -= 1
+            return
         if tag in _BLOCK_TAGS:
             if self._list_depth:
-                self._buf.append(" ")
+                self._append_data(" ")
             else:
                 self._flush_text()
+
+    def _append_data(self, data: str) -> None:
+        self._buf.append(
+            (data, self._bold_depth > 0, self._italic_depth > 0)
+        )
 
     def handle_data(self, data):
         if self._drop_depth or not data:
@@ -290,7 +348,7 @@ class _MainContentParser(HTMLParser):
             if self._in_cell:
                 self._cell_buf.append(data)
             return
-        self._buf.append(data)
+        self._append_data(data)
         if self._a_depth:
             self._link_buf.append(data)
 
@@ -466,6 +524,49 @@ def html_to_elements(html: str, output_format: str = "html"):
         # text / list blocks: same construction as the prose path
         from open_parse_spark.core.model import clean_markdown_formatting
 
+        if b.get("runs"):
+            # inline bold/italic: one line of style-run TextSpans — the
+            # reference's span-transition markdown formatting applies
+            # (model.py TextSpan.formatted_text); styled paragraphs are
+            # short enough that forgoing the 78-char wrap is the right
+            # trade against splitting a style run across lines
+            needed = _PROSE_LINE_HEIGHT
+            if y1 - needed < _PROSE_MIN_Y:
+                page += 1
+                y1 = _PROSE_TOP_Y
+            total_len = sum(len(t) for t, _, _ in b["runs"])
+            bbox = (
+                _PROSE_MARGIN_X,
+                y1 - (_PROSE_LINE_HEIGHT - 2.0),
+                _PROSE_MARGIN_X + max(1.0, _PROSE_CHAR_WIDTH * total_len),
+                y1,
+            )
+            line = LineElement(
+                bbox=bbox,
+                spans=tuple(
+                    TextSpan(text=t, is_bold=bo, is_italic=it, size=11.0)
+                    for t, bo, it in b["runs"]
+                ),
+            )
+            from open_parse_spark.core.model import TextElement
+
+            elements.append(
+                TextElement(
+                    text=line.text,
+                    lines=(line,),
+                    bbox=Bbox(
+                        page=page,
+                        page_width=DEFAULT_PAGE_WIDTH,
+                        page_height=DEFAULT_PAGE_HEIGHT,
+                        x0=bbox[0],
+                        y0=bbox[1],
+                        x1=bbox[2],
+                        y1=bbox[3],
+                    ),
+                )
+            )
+            y1 = bbox[1] - _PROSE_PARA_GAP
+            continue
         raw_lines = wrap78(b["text"])
         if not raw_lines:
             continue

@@ -197,3 +197,35 @@ def test_parse_transcripts_html_turns_distributed(spark):
     assert by_turn[("c1", 1)].startswith("**Doc B**")
     assert "X" not in by_turn[("c1", 1)]
     assert ("c2", 0) in by_turn  # prose path untouched
+
+
+def test_inline_style_runs_extracted():
+    blocks = extract_main_blocks("<p>a <b>bold</b> word and <em>ital</em>s</p>")
+    assert blocks[0]["text"] == "a bold word and itals"  # plain text: clean spaces
+    assert blocks[0]["runs"] == [
+        ("a ", False, False),
+        ("bold", True, False),
+        (" word and ", False, False),
+        ("ital", False, True),
+        ("s", False, False),
+    ]
+    # unstyled paragraphs carry no runs (fast path)
+    assert "runs" not in extract_main_blocks("<p>plain</p>")[0]
+
+
+def test_inline_styles_render_with_reference_markdown_cleanup():
+    """Mid-line markers swallow adjacent spaces — the reference's own
+    cleanup semantics (schemas.py:160-187; its goldens show
+    'dated**1/12/2003 12:36:16 PM**')."""
+    els = html_to_elements("<p>a <b>bold</b> word and <em>ital</em>s</p>")
+    assert els[0].text == "a**bold**word and*ital*s"
+    els2 = html_to_elements("<p><strong><em>both</em></strong> rest</p>")
+    assert els2[0].text == "***both***rest"
+
+
+def test_styled_paragraph_through_full_pipeline():
+    node = parse_turn(
+        "<article><h1>T</h1><p>" + "word " * 60
+        + "really <b>important</b> point</p></article>"
+    )
+    assert "**important**" in node[0].text
