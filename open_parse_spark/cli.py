@@ -90,6 +90,25 @@ def main(argv=None) -> int:
     cp.add_argument("--ngram", type=int, default=13)
     cp.add_argument("--master", default=None)
 
+    bp = sub.add_parser(
+        "clean-lines",
+        help="drop boilerplate lines repeated across >= min-df documents",
+    )
+    bp.add_argument("--input", required=True, help="parquet with (doc_id, text)")
+    bp.add_argument("--output", required=True)
+    bp.add_argument("--min-df", type=int, default=3)
+    bp.add_argument("--min-chars", type=int, default=5)
+    bp.add_argument("--master", default=None)
+
+    hp = sub.add_parser(
+        "html-extract",
+        help="strip HTML boilerplate; emit (doc_id, heading, body_text, n_blocks)",
+    )
+    hp.add_argument("--input", required=True, help="parquet with (doc_id, html)")
+    hp.add_argument("--output", required=True)
+    hp.add_argument("--html-col", default="html")
+    hp.add_argument("--master", default=None)
+
     args = p.parse_args(argv)
 
     from open_parse_spark.spark.session import get_spark
@@ -200,6 +219,24 @@ def main(argv=None) -> int:
         train = spark.read.parquet(args.input)
         bench = spark.read.parquet(args.benchmark)
         ngram_contamination(train, bench, n=args.ngram).write.mode(
+            "overwrite"
+        ).parquet(args.output)
+        return 0
+
+    if args.cmd == "clean-lines":
+        from open_parse_spark.operators.dedup import remove_boilerplate_lines
+
+        docs = spark.read.parquet(args.input)
+        remove_boilerplate_lines(
+            docs, min_df=args.min_df, min_chars=args.min_chars
+        ).write.mode("overwrite").parquet(args.output)
+        return 0
+
+    if args.cmd == "html-extract":
+        from open_parse_spark.operators.html import extract_main_content
+
+        pages = spark.read.parquet(args.input)
+        extract_main_content(pages, html_col=args.html_col).write.mode(
             "overwrite"
         ).parquet(args.output)
         return 0

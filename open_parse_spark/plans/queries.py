@@ -2033,47 +2033,14 @@ def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_blocks).  The oracle derives the expected output straight from the
     raw text — so every dropped nav/sidebar/footer/head fragment and the
     exact whitespace-normalized round-trip are value-checked."""
-    import pandas as pd
+    from open_parse_spark.operators.html import extract_main_content
 
     docs = _tbl(spark, sf_dir, "documents")
     src = docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.expr(_html_doc_expr("cast(doc_id as string)")).alias("html"),
     )
-
-    def extract(batches):
-        from open_parse_spark.core.html import extract_main_blocks
-
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            ids, heads, bodies, counts = [], [], [], []
-            for doc_id, html in zip(pdf["doc_id"], pdf["html"]):
-                blocks = extract_main_blocks(html)
-                ids.append(doc_id)
-                heads.append(
-                    "\n".join(
-                        b["text"] for b in blocks if b["kind"] == "heading"
-                    )
-                )
-                bodies.append(
-                    "\n\n".join(
-                        b["text"] for b in blocks if b["kind"] != "heading"
-                    )
-                )
-                counts.append(len(blocks))
-            yield pd.DataFrame(
-                {
-                    "doc_id": ids,
-                    "heading": heads,
-                    "body_text": bodies,
-                    "n_blocks": counts,
-                }
-            )
-
-    return src.mapInPandas(
-        extract, "doc_id long, heading string, body_text string, n_blocks long"
-    )
+    return extract_main_content(src)
 
 
 SQL_HTML_EXTRACT = r"""
