@@ -227,3 +227,46 @@ def test_streaming_decontaminate_matches_batch(spark, stream_dir):
         batch_counts[(conv, turn)] = vals
     for k, vals in stream_counts.items():
         assert sorted(vals) == sorted(batch_counts[k]), k
+
+
+def test_streaming_parse_html_turns_matches_batch(spark, tmp_path):
+    """HTML payloads through the streaming twin == batch parse (stateless
+    map; pins that the DOM path needs no per-stream state)."""
+    import datetime
+
+    from open_parse_spark.spark.pipeline import parse_transcripts
+    from open_parse_spark.streaming.jobs import run_stream_to_memory, streaming_parse
+
+    d = tmp_path / "html_stream"
+    d.mkdir()
+    rows = []
+    for i in range(6):
+        html = (
+            f"<html><body><nav><a href='/'>Home</a></nav><article>"
+            f"<h1>Page {i}</h1><p>" + f"page {i} body words. " * 20
+            + "</p></article><footer>foot</footer></body></html>"
+        )
+        rows.append(("hc%d" % (i % 2), i // 2, "user", html, "",
+                     datetime.datetime(2026, 1, 1)))
+    pdf = pd.DataFrame(
+        rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    ).astype({"turn_idx": "int32", "ts": "datetime64[us]"})
+    pdf.to_parquet(str(d / "f0.parquet"), index=False)
+
+    stream = streaming_parse(spark, str(d), max_files_per_trigger=1)
+    q = run_stream_to_memory(stream, "nodes_html_stream")
+    q.awaitTermination(120)
+    got = (
+        spark.table("nodes_html_stream")
+        .select("conv_id", "turn_idx", "node_idx", "text")
+        .orderBy("conv_id", "turn_idx", "node_idx", "text")
+        .toPandas()
+    )
+    batch = (
+        parse_transcripts(spark.read.parquet(str(d)), repartition_for_skew=False)
+        .select("conv_id", "turn_idx", "node_idx", "text")
+        .orderBy("conv_id", "turn_idx", "node_idx", "text")
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(got, batch)
+    assert len(got) == 6 and got["text"].str.startswith("**Page").all()
