@@ -125,6 +125,10 @@ class _MainContentParser(HTMLParser):
         self._a_depth = 0
         self._bold_depth = 0
         self._italic_depth = 0
+        # stack of tag names that opened a main-content scope
+        # (<main>/<article>/role="main"); non-empty => inside main content
+        self._main_openers: List[str] = []
+        self._pre_depth = 0  # inside <pre>: whitespace is content
         self._heading: str | None = None
         # flowing text accumulates as (chunk, bold, italic) style runs
         self._buf: List[tuple] = []
@@ -155,12 +159,31 @@ class _MainContentParser(HTMLParser):
             "text": "".join(r[0] for r in runs),
             "level": level,
             "link_chars": len(link_text),
+            "in_main": bool(self._main_openers),
         }
         # inline style runs matter for flowing text (they become TextSpans);
         # headings are whole-line bold by construction
         if kind == "text" and any(b or i for _, b, i in runs):
             block["runs"] = runs
         self.blocks.append(block)
+
+    def _flush_pre(self) -> None:
+        # <pre> whitespace is content: no collapsing, no style runs; only
+        # the newlines that hug the tags are trimmed
+        text = "".join(t for t, _, _ in self._buf).strip("\n")
+        self._buf, self._link_buf = [], []
+        if not text.strip(" \t"):
+            return
+        self.blocks.append(
+            {
+                "kind": "text",
+                "text": text,
+                "level": 0,
+                "link_chars": 0,
+                "in_main": bool(self._main_openers),
+                "preformatted": True,
+            }
+        )
 
     def _flush_item(self) -> None:
         text = _norm("".join(t for t, _, _ in self._buf))
@@ -182,6 +205,7 @@ class _MainContentParser(HTMLParser):
                 "link_chars": sum(lc for _, lc in items),
                 # density denominator: raw item text, not the "- " bullets
                 "content_chars": sum(len(t) for t, _ in items),
+                "in_main": bool(self._main_openers),
             }
         )
 
@@ -202,6 +226,7 @@ class _MainContentParser(HTMLParser):
                 "link_chars": 0,
                 "headers": headers,
                 "rows": rows,
+                "in_main": bool(self._main_openers),
             }
         )
 
@@ -224,6 +249,16 @@ class _MainContentParser(HTMLParser):
             if tag not in _VOID_TAGS:
                 self._drop_depth = 1
             return
+        if tag in ("main", "article") or any(
+            k == "role" and v and v.lower() == "main" for k, v in attrs
+        ):
+            self._main_openers.append(tag)
+        if self._pre_depth:
+            if tag == "pre":
+                self._pre_depth += 1
+            elif tag == "br":
+                self._append_data("\n")
+            return  # structure inside <pre> is content, not layout
         if self._table_depth:
             if tag == "table":
                 self._table_depth += 1
@@ -266,6 +301,13 @@ class _MainContentParser(HTMLParser):
             return
         if tag == "br":
             self._append_data(" ")
+            return
+        if tag == "pre":
+            if self._list_depth:
+                self._append_data(" ")
+                return
+            self._flush_text()
+            self._pre_depth = 1
             return
         if tag in _BLOCK_TAGS:
             if self._list_depth:  # block tag inside an <li>: soft separator
@@ -330,11 +372,19 @@ class _MainContentParser(HTMLParser):
             if self._italic_depth:
                 self._italic_depth -= 1
             return
+        if self._pre_depth:
+            if tag == "pre":
+                self._pre_depth -= 1
+                if self._pre_depth == 0:
+                    self._flush_pre()
+            return
         if tag in _BLOCK_TAGS:
             if self._list_depth:
                 self._append_data(" ")
             else:
                 self._flush_text()
+        if self._main_openers and tag == self._main_openers[-1]:
+            self._main_openers.pop()
 
     def _append_data(self, data: str) -> None:
         self._buf.append(
@@ -367,6 +417,9 @@ class _MainContentParser(HTMLParser):
         if self._list_depth:
             self._list_depth = 0
             self._flush_list()
+        if self._pre_depth:
+            self._pre_depth = 0
+            self._flush_pre()
         if self._heading:
             self._flush_text(kind="heading", level=int(self._heading[1]))
             self._heading = None
@@ -400,6 +453,12 @@ def extract_main_blocks(html: str) -> List[Dict[str, Any]]:
             ):
                 continue
         kept.append(b)
+    # readability-style scoping: when the page declares a main-content
+    # container (<main>/<article>/role="main") and it produced blocks,
+    # everything outside it is chrome — comments sections, text-dense
+    # footers and other unmarked junk included
+    if any(b["in_main"] for b in kept):
+        kept = [b for b in kept if b["in_main"]]
     return kept
 
 

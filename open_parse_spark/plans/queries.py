@@ -2116,6 +2116,23 @@ _BOILER_LINE_TOP = "Subscribe to our newsletter today"
 _BOILER_LINE_BOT = "Copyright 2026 Example Corp All rights reserved"
 
 
+def q_parse_html_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full node pipeline over HTML turns (rows-only, like the other
+    parse-pipeline queries: the greedy per-turn transforms are not
+    SQL-expressible — semantics are pinned by tests/test_html_extract.py).
+    Documents are wrapped in the chrome template and mapped into the
+    transcript shape, so the driver exercises HTML dispatch -> DOM strip ->
+    synthetic-page layout -> P* transforms end-to-end on its own data."""
+    docs = _tbl(spark, sf_dir, "documents")
+    wrapped = docs.select(
+        "doc_id",
+        F.expr(_html_doc_expr("cast(doc_id as string)")).alias("text"),
+    )
+    return parse_transcripts(
+        documents_as_transcripts(wrapped), repartition_for_skew=False
+    ).select("conv_id", "turn_idx", "node_idx", "text", "tokens")
+
+
 def q_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet/RefinedWeb-style line-level boilerplate removal, gate form:
     every document gets the same two injected chrome lines (corpus df =
@@ -2182,6 +2199,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "parse_flagship": (q_parse_flagship, None),
     "parse_metrics": (q_parse_metrics, None),
     "parse_bbox_debug": (q_parse_bbox_debug, None),
+    "parse_html_flagship": (q_parse_html_flagship, None),
     "dedup_minhash": (q_dedup_minhash, SQL_DEDUP_MINHASH),
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
     "ann_ivf": (q_ann_ivf, None),

@@ -229,3 +229,50 @@ def test_styled_paragraph_through_full_pipeline():
         + "really <b>important</b> point</p></article>"
     )
     assert "**important**" in node[0].text
+
+
+def test_main_container_scopes_out_unmarked_junk():
+    """Readability-style scoping: once <main>/<article>/role=main exists,
+    text-dense junk outside it (comments, unmarked footers) is chrome."""
+    html = (
+        "<div><p>" + "text dense comment junk words " * 10 + "</p></div>"
+        "<article><h1>T</h1><p>real body content here</p></article>"
+        "<div><p>trailing junk paragraph with plenty of words</p></div>"
+    )
+    assert [b["text"] for b in extract_main_blocks(html)] == [
+        "T",
+        "real body content here",
+    ]
+    # without a declared container everything non-boilerplate stays
+    assert [b["text"] for b in extract_main_blocks("<p>standalone</p>")] == [
+        "standalone"
+    ]
+    # role=main is case-insensitive and works on any tag
+    assert [
+        b["text"]
+        for b in extract_main_blocks(
+            '<p>outside</p><div role="MAIN"><p>inside</p></div>'
+        )
+    ] == ["inside"]
+
+
+def test_pre_blocks_preserved_verbatim():
+    bs = extract_main_blocks(
+        "<p>before</p><pre>\ndef f(x):\n    return  x\n</pre><p>after</p>"
+    )
+    assert bs[1]["text"] == "def f(x):\n    return  x"
+    assert bs[1].get("preformatted")
+    # structure tags inside pre are content separators, not layout
+    bs2 = extract_main_blocks("<pre>a<br>b</pre>")
+    assert bs2[0]["text"] == "a\nb"
+    # unclosed pre at EOF flushes
+    assert extract_main_blocks("<pre>code at eof")[0]["text"] == "code at eof"
+
+
+def test_pre_lines_survive_the_node_pipeline():
+    node = parse_turn(
+        "<article><h1>Code</h1><p>" + "prose words here. " * 30 + "</p>"
+        "<pre>line_one = 1\nline_two  = 2</pre></article>"
+    )
+    text = node[0].text
+    assert "line_one = 1\nline_two  = 2" in text
