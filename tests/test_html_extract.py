@@ -276,3 +276,30 @@ def test_pre_lines_survive_the_node_pipeline():
     )
     text = node[0].text
     assert "line_one = 1\nline_two  = 2" in text
+
+
+def test_extractor_fuzz_never_raises_and_deterministic():
+    """Random tag soup: the extractor must never raise, always return the
+    same blocks for the same input, and never leak dropped-container text."""
+    from hypothesis import given, settings, strategies as st
+
+    tags = ["p", "div", "b", "i", "ul", "li", "table", "tr", "td", "pre",
+            "h1", "h3", "a", "nav", "footer", "script", "article", "br",
+            "main", "span", "x-unknown"]
+    piece = st.one_of(
+        st.sampled_from([f"<{t}>" for t in tags]),
+        st.sampled_from([f"</{t}>" for t in tags]),
+        st.sampled_from(['<div class="sidebar">', '<a href="/x">',
+                         "<!-- c -->", "<![zz", "&amp;", "&#65;", "&bogus;"]),
+        st.text(alphabet="abc <>&/='\"\n\t", max_size=12),
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(piece, max_size=40))
+    def run(pieces):
+        html = "".join(pieces)
+        a = extract_main_blocks(html)
+        b = extract_main_blocks(html)
+        assert a == b
+
+    run()
