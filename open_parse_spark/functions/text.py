@@ -159,3 +159,51 @@ def predict_lang(col: Column) -> Column:
         ]
     )
     return F.element_at(F.array_sort(pairs), 1)["lang"]
+
+
+# ---------------------------------------------------------------------------
+# hashed-feature linear quality classifier
+# ---------------------------------------------------------------------------
+
+N_FEATURE_BUCKETS = 64
+
+
+def classifier_weights(buckets: int = N_FEATURE_BUCKETS, seed: int = 7) -> list:
+    """Deterministic integer weight vector — the stand-in for an exported
+    trained linear model (fastText/logistic quality classifiers reduce to
+    exactly this shape: hash features, sum weights).  Integer weights keep
+    the score an order-independent exact sum, so the DuckDB oracle
+    reproduces it bit-for-bit; swap in real exported weights (scaled to
+    ints) at deploy time."""
+    # small signed ints in [-8, 8), seeded arithmetically (no RNG state)
+    return [((seed * 2654435761 + j * 40503) % 16) - 8 for j in range(buckets)]
+
+
+def linear_quality_score(
+    col: Column, weights: list | None = None, buckets: int = N_FEATURE_BUCKETS
+) -> Column:
+    """Per-document score: sum of hashed-word-bucket weights (one JVM-side
+    pass — no shuffle, no Python).  Word hashing uses the md5 hex-parse
+    bucket (`hash_bucket` family) so ANSI SQL reproduces every score; at
+    100 TB swap the hasher for xxhash64 exactly as the minhash scale path
+    does."""
+    w = weights if weights is not None else classifier_weights(buckets)
+    warr = F.array(*[F.lit(int(v)).cast("long") for v in w])
+    ws = words(col)
+    bucketed = F.transform(
+        ws,
+        lambda t: F.element_at(
+            warr,
+            (
+                F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+                % buckets
+                + 1
+            ).cast("int"),
+        ),
+    )
+    return F.coalesce(
+        F.aggregate(
+            bucketed, F.lit(0).cast("long"), lambda acc, x: acc + x
+        ),
+        F.lit(0).cast("long"),
+    )

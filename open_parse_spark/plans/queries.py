@@ -2190,6 +2190,42 @@ FROM totals t LEFT JOIN rebuilt r USING (doc_id)
 """
 
 
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-feature linear quality classifier (the fastText/logistic
+    shape web-scale curation pipelines deploy): one JVM pass summing
+    integer weights over md5-bucketed words — no shuffle, no Python, and
+    the weights are embedded in the oracle so every score is value-checked
+    (same pattern as the LSH planes)."""
+    docs = _tbl(spark, sf_dir, "documents")
+    score = T.linear_quality_score(F.coalesce(F.col("text"), F.lit("")))
+    return docs.select(
+        "doc_id",
+        score.alias("quality_score"),
+        (score >= 0).alias("keep"),
+    )
+
+
+_CLF_W = ", ".join(str(v) for v in __import__(
+    "open_parse_spark.functions.text", fromlist=["classifier_weights"]
+).classifier_weights())
+
+SQL_QUALITY_CLASSIFIER = f"""
+WITH wt AS (SELECT [{_CLF_W}]::BIGINT[] AS w)
+SELECT doc_id,
+       coalesce(list_sum(list_transform(
+         list_transform(regexp_extract_all(coalesce(text, ''), '[A-Za-z0-9]+'),
+                        x -> lower(x)),
+         t -> w[1 + (('0x' || substr(md5(t), 1, 15))::BIGINT % 64)::INT]
+       )), 0)::BIGINT AS quality_score,
+       coalesce(list_sum(list_transform(
+         list_transform(regexp_extract_all(coalesce(text, ''), '[A-Za-z0-9]+'),
+                        x -> lower(x)),
+         t -> w[1 + (('0x' || substr(md5(t), 1, 15))::BIGINT % 64)::INT]
+       )), 0) >= 0 AS keep
+FROM documents, wt
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2265,6 +2301,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
         SQL_HTML_BOILERPLATE_STATS,
     ),
     "boilerplate_lines": (q_boilerplate_lines, SQL_BOILERPLATE_LINES),
+    "quality_classifier": (q_quality_classifier, SQL_QUALITY_CLASSIFIER),
 }
 
 

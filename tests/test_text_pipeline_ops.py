@@ -177,3 +177,52 @@ def test_remove_boilerplate_lines_semantics(spark):
         for r in remove_boilerplate_lines(df2, min_df=3, min_chars=5).collect()
     }
     assert out2[0].clean_text == "x words enough"
+
+
+def test_linear_quality_score_matches_python_reimplementation(spark):
+    """Spark JVM score == independent python md5-bucket reimplementation."""
+    import hashlib
+    import re as _re
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from open_parse_spark.functions.text import (
+        classifier_weights,
+        linear_quality_score,
+    )
+
+    w = classifier_weights()
+    assert w == classifier_weights(), "weights must be deterministic"
+    assert len(w) == 64 and all(-8 <= v < 8 for v in w)
+
+    texts = [
+        "the quick brown fox",
+        "",
+        None,
+        "UPPER lower MiXeD 123 456789",
+        "word " * 500,
+        "!!! ??? only punctuation",
+    ]
+
+    def py_score(t):
+        if not t:
+            return 0
+        ws = [x.lower() for x in _re.findall(r"[A-Za-z0-9]+", t)]
+        return sum(
+            w[int(hashlib.md5(x.encode()).hexdigest()[:15], 16) % 64]
+            for x in ws
+        )
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    )
+    got = {
+        r.doc_id: r.s
+        for r in df.select(
+            "doc_id",
+            linear_quality_score(F.coalesce(F.col("text"), F.lit(""))).alias("s"),
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == py_score(t), (i, t, got[i], py_score(t))
