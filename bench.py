@@ -245,6 +245,7 @@ def main() -> None:
         "quality_repetition",
         "training_pipeline_full",
         "html_extract",
+        "quality_classifier",
     ]
 
     query_secs: dict[str, float] = {}
