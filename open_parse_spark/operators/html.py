@@ -58,3 +58,47 @@ def extract_main_content(
     return src.mapInPandas(
         extract, "doc_id long, heading string, body_text string, n_blocks long"
     )
+
+
+def extract_blocks(
+    df: DataFrame, id_col: str = "doc_id", html_col: str = "html"
+) -> DataFrame:
+    """One row per kept content block, in document order: (id, block_idx,
+    kind, text, level) — the chunking-granularity surface (RAG splitters,
+    per-block dedup) as opposed to ``extract_main_content``'s joined view.
+    Same zero-shuffle Arrow shape."""
+    import pandas as pd
+
+    src = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.coalesce(F.col(html_col), F.lit("")).alias("html"),
+    )
+
+    def explode(batches):
+        from open_parse_spark.core.html import extract_main_blocks
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids, idxs, kinds, texts, levels = [], [], [], [], []
+            for doc_id, html in zip(pdf["doc_id"], pdf["html"]):
+                for i, b in enumerate(extract_main_blocks(html)):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    kinds.append(b["kind"])
+                    texts.append(b["text"])
+                    levels.append(b["level"])
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "block_idx": idxs,
+                    "kind": kinds,
+                    "text": texts,
+                    "level": levels,
+                }
+            )
+
+    return src.mapInPandas(
+        explode,
+        "doc_id long, block_idx long, kind string, text string, level long",
+    )

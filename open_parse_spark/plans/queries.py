@@ -371,7 +371,12 @@ FROM documents
 
 def q_op_remove_repeated(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P9 RemoveRepeatedElements analog (basic_transforms.py:235-258):
-    drop ALL copies of any text occurring more than threshold=2 times."""
+    drop ALL copies of any text occurring more than threshold=2 times.
+    NULL text is never a "repeated element" (the reference counts node
+    texts, which can't be NULL) — the anti-join's NULL-key semantics keep
+    NULL rows, and the oracle pins the same rule explicitly (a plain
+    ``PARTITION BY text`` window would group NULLs together and silently
+    drop them — caught by the randomized parity corpus)."""
     docs = _tbl(spark, sf_dir, "documents")
     counts = docs.groupBy("text").agg(F.count(F.lit(1)).alias("c"))
     return (
@@ -382,8 +387,8 @@ def q_op_remove_repeated(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_OP_REMOVE_REPEATED = """
 SELECT doc_id FROM (
-  SELECT doc_id, count(*) OVER (PARTITION BY text) AS c FROM documents
-) t WHERE c <= 2
+  SELECT doc_id, text, count(*) OVER (PARTITION BY text) AS c FROM documents
+) t WHERE c <= 2 OR text IS NULL
 """
 
 
@@ -2190,6 +2195,36 @@ FROM totals t LEFT JOIN rebuilt r USING (doc_id)
 """
 
 
+def q_html_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-block variant of the round-trip gate: one row per kept content
+    block in document order — the chunking-granularity surface.  The oracle
+    predicts the exact block sequence from the raw text (heading always at
+    block 0, body paragraph at block 1 iff non-empty)."""
+    from open_parse_spark.operators.html import extract_blocks
+
+    docs = _tbl(spark, sf_dir, "documents")
+    src = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.expr(_html_doc_expr("cast(doc_id as string)")).alias("html"),
+    )
+    return extract_blocks(src)
+
+
+SQL_HTML_BLOCKS = r"""
+WITH n AS (
+  SELECT doc_id,
+         trim(regexp_replace(coalesce(text, ''), '[ \t\n\r\f]+', ' ', 'g'), ' ') AS body
+  FROM documents
+)
+SELECT doc_id::BIGINT AS doc_id, 0::BIGINT AS block_idx,
+       'heading' AS kind, 'Doc ' || doc_id::VARCHAR AS text, 1::BIGINT AS level
+FROM n
+UNION ALL
+SELECT doc_id::BIGINT, 1::BIGINT, 'text', body, 0::BIGINT
+FROM n WHERE body <> ''
+"""
+
+
 def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashed-feature linear quality classifier (the fastText/logistic
     shape web-scale curation pipelines deploy): one JVM pass summing
@@ -2302,6 +2337,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     ),
     "boilerplate_lines": (q_boilerplate_lines, SQL_BOILERPLATE_LINES),
     "quality_classifier": (q_quality_classifier, SQL_QUALITY_CLASSIFIER),
+    "html_blocks": (q_html_blocks, SQL_HTML_BLOCKS),
 }
 
 
