@@ -42,8 +42,13 @@ def _random_corpus(seed: int = 1234, n: int = 48) -> pd.DataFrame:
                 "common shared prefix words for near duplicate pairs "
                 + " ".join(rng.choice(_WORDS, 10))
             )
-        elif shape == 6:  # whitespace-riddled
-            text = "  ".join(rng.choice(_WORDS, 20)) + " \t "
+        elif shape == 6:  # whitespace-riddled incl. every collapse-class char
+            seps = [" ", "  ", "\t", "\n", "\r\n", "\f", " \n "]
+            ws = rng.choice(_WORDS, 20)
+            text = (
+                "".join(w + seps[int(rng.randint(len(seps)))] for w in ws)
+                + " \t "
+            )
         else:  # long doc
             text = " ".join(rng.choice(_WORDS, 2000))
         lang = rng.choice(["en", "de", "fr", "es", "zh", None])
