@@ -189,24 +189,59 @@ def combine_nodes_spatially(
     either_stub = criteria == "either_stub"
     xm, ym = x_error_margin, y_error_margin
 
+    from bisect import insort
+
     def process(nodes: List[Node]) -> List[Node]:
         combined_nodes: List[Node] = []
+        # page -> ascending indices of combined_nodes with a bbox on that
+        # page.  Node.overlaps is same-page-only (reference
+        # schemas.py:600-622), so scanning only same-page targets in
+        # ascending index order finds the identical first greedy match —
+        # but turns the reference's O(n^2) whole-list scan into
+        # O(n x per-page density).  A 30k-element HTML turn dropped from
+        # 73 s to sub-second with byte-identical output (SHA differential
+        # + frozen goldens).
+        page_index: dict = {}
+
+        def register(idx: int, pages) -> None:
+            for p in pages:
+                insort(page_index.setdefault(p, []), idx)
+
+        def append(node: Node, flat) -> None:
+            idx = len(combined_nodes)
+            combined_nodes.append(node)
+            register(idx, {b[0] for b in flat})
+
         for current_node in nodes:
-            combined = False
             # criteria is evaluated before the (expensive) overlap test —
             # same boolean AND as the reference, short-circuited cheap-first
             cur_stub = either_stub and current_node.is_stub
-            if both_small and not current_node.is_small:
-                combined_nodes.append(current_node)
-                continue
             cur_flat = current_node._bbox_flat
+            if both_small and not current_node.is_small:
+                append(current_node, cur_flat)
+                continue
             # single-bbox fast path: the overlap arithmetic inlined (nodes
             # are overwhelmingly single-page; semantics identical to
             # Node.overlaps)
             single = cur_flat[0] if len(cur_flat) == 1 else None
             if single is not None:
                 page, x0, y0, x1, y1 = single
-            for i, target_node in enumerate(combined_nodes):
+                cand = page_index.get(page, ())
+            else:
+                lists = [
+                    page_index[p]
+                    for p in {b[0] for b in cur_flat}
+                    if p in page_index
+                ]
+                if not lists:
+                    cand = ()
+                elif len(lists) == 1:
+                    cand = lists[0]
+                else:
+                    cand = sorted(set().union(*lists))
+            merge_i = -1
+            for i in cand:
+                target_node = combined_nodes[i]
                 if both_small:
                     criteria_bool = target_node.is_small
                 elif either_stub:
@@ -231,14 +266,22 @@ def combine_nodes_spatially(
                         continue
                 elif not current_node.overlaps(target_node, xm, ym):
                     continue
+                merge_i = i
+                break
+            if merge_i >= 0:
                 # Node.__add__ == Node(target.elements + current.elements)
                 # (reference basic_transforms.py:319-320) with derived
                 # state pre-seeded from the parents' caches
-                combined_nodes[i] = target_node + current_node
-                combined = True
-                break
-            if not combined:
-                combined_nodes.append(current_node)
+                target_node = combined_nodes[merge_i]
+                old_pages = {b[0] for b in target_node._bbox_flat}
+                merged = target_node + current_node
+                combined_nodes[merge_i] = merged
+                register(
+                    merge_i,
+                    {b[0] for b in merged._bbox_flat} - old_pages,
+                )
+            else:
+                append(current_node, cur_flat)
         return combined_nodes
 
     return process
