@@ -82,3 +82,20 @@ def test_resume_after_midwave_crash(spark, tmp_path):
         .toPandas()
     )
     pd.testing.assert_frame_equal(resumed, clean)
+
+
+def test_element_heavy_turn_parses_in_linear_time():
+    """A 30k-paragraph HTML turn must stay near-linear through the greedy
+    pipeline (the page-indexed spatial merge; a whole-list scan regression
+    would push this back to ~70 s)."""
+    import time
+
+    from open_parse_spark.core.parse import parse_turn
+
+    chunk = "<p>" + "paragraph words with some content here. " * 3 + "</p>"
+    big = "<article><h1>Big</h1>" + chunk * 30000 + "</article>"
+    t0 = time.monotonic()
+    nodes = parse_turn(big)
+    wall = time.monotonic() - t0
+    assert nodes, "no output from element-heavy turn"
+    assert wall < 30, f"element-heavy turn took {wall:.1f}s (quadratic regression?)"
