@@ -33,8 +33,9 @@ BENCH_FILES = int(os.environ.get("BENCH_FILES", "32"))
 # 8-core wall was ~6 s (overhead ~20%, measured 0.77-0.87); at 200k ~12 s
 # (0.92 measured) — then round-2 per-core parse speedups (+25%) shrank it
 # back to ~11.7 s and 2->8 measured 0.77-0.80 again; at 400k the 8-core wall
-# is ~22 s and 2->8 measures 0.87.
-BENCH_CONVS = int(os.environ.get("BENCH_CONVS", "8000"))
+# is ~22 s and 2->8 measures 0.87-0.99.  The part-5 merge/token speedups
+# (~+15% per core) shrank it again -> 500k keeps the fast leg >= ~20 s.
+BENCH_CONVS = int(os.environ.get("BENCH_CONVS", "10000"))
 BENCH_AVG_TURNS = int(os.environ.get("BENCH_AVG_TURNS", "50"))
 
 
