@@ -122,6 +122,7 @@ class _MainContentParser(HTMLParser):
         super().__init__(convert_charrefs=True)
         self.blocks: List[Dict[str, Any]] = []
         self._drop_depth = 0
+        self._drop_tag = ""
         self._a_depth = 0
         self._bold_depth = 0
         self._italic_depth = 0
@@ -242,17 +243,28 @@ class _MainContentParser(HTMLParser):
 
     def handle_starttag(self, tag, attrs):
         if self._drop_depth:
-            if tag not in _VOID_TAGS:
+            # count only the DROP OPENER's tag: HTML5 auto-closing tags
+            # (unclosed <p>/<li>/<dt> inside a nav/footer) would desync a
+            # count-every-tag depth and silently swallow the rest of the
+            # document (caught by review; nesting of the same container
+            # tag is what actually needs balancing)
+            if tag == self._drop_tag:
                 self._drop_depth += 1
             return
         if tag in _DROP_TAGS or self._is_boiler_attrs(attrs):
             if tag not in _VOID_TAGS:
                 self._drop_depth = 1
+                self._drop_tag = tag
             return
+        # main-scope bookkeeping runs for every non-dropped tag so nested
+        # occurrences of the opener tag stay balanced (e.g. <div role=main>
+        # containing plain <div>s — caught by review)
         if tag in ("main", "article") or any(
             k == "role" and v and v.lower() == "main" for k, v in attrs
         ):
-            self._main_openers.append(tag)
+            self._main_openers.append([tag, 1])
+        elif self._main_openers and tag == self._main_openers[-1][0]:
+            self._main_openers[-1][1] += 1
         if self._pre_depth:
             if tag == "pre":
                 self._pre_depth += 1
@@ -317,12 +329,37 @@ class _MainContentParser(HTMLParser):
 
     def handle_startendtag(self, tag, attrs):
         if tag == "br" and not self._drop_depth:
-            self._append_data(" ")
+            # XHTML self-closed <br/> must behave like <br> (newline in
+            # <pre>, soft space elsewhere — caught by review)
+            self._append_data("\n" if self._pre_depth else " ")
+
+    def _main_close(self, tag) -> None:
+        if self._main_openers and tag == self._main_openers[-1][0]:
+            self._main_openers[-1][1] -= 1
+            if self._main_openers[-1][1] == 0:
+                # flush buffered content while still inside the scope so it
+                # keeps in_main=True
+                if self._pre_depth:
+                    self._pre_depth = 0
+                    self._flush_pre()
+                elif not self._table_depth and not self._list_depth:
+                    self._flush_text()
+                self._main_openers.pop()
 
     def handle_endtag(self, tag):
         if self._drop_depth:
-            if tag not in _VOID_TAGS:
+            if tag == self._drop_tag:
                 self._drop_depth -= 1
+            return
+        self._main_close(tag)
+        if self._pre_depth:
+            # end tags inside <pre> are content, not structure: without
+            # this guard </b>/</a> opened OUTSIDE the pre would be
+            # decremented by markup INSIDE it (caught by review)
+            if tag == "pre":
+                self._pre_depth -= 1
+                if self._pre_depth == 0:
+                    self._flush_pre()
             return
         if self._table_depth:
             if tag == "table":
@@ -372,19 +409,11 @@ class _MainContentParser(HTMLParser):
             if self._italic_depth:
                 self._italic_depth -= 1
             return
-        if self._pre_depth:
-            if tag == "pre":
-                self._pre_depth -= 1
-                if self._pre_depth == 0:
-                    self._flush_pre()
-            return
         if tag in _BLOCK_TAGS:
             if self._list_depth:
                 self._append_data(" ")
             else:
                 self._flush_text()
-        if self._main_openers and tag == self._main_openers[-1]:
-            self._main_openers.pop()
 
     def _append_data(self, data: str) -> None:
         self._buf.append(

@@ -66,7 +66,10 @@ _CACHE_MAX_LEN = 2_048
 @lru_cache(maxsize=8192)
 def _num_tokens_cached(string: str) -> int:
     if _ENCODER is not None:  # pragma: no cover
-        return len(_ENCODER.encode(string))
+        # encode_ordinary: plain encode() RAISES on text containing special
+        # tokens like '<|endoftext|>' (common in scraped ML content), and
+        # the batch path already uses the ordinary variant
+        return len(_ENCODER.encode_ordinary(string))
     return _subn("", string)[1]
 
 
@@ -80,7 +83,7 @@ def num_tokens(string: Optional[str]) -> int:
         return 0
     if len(string) > _CACHE_MAX_LEN:
         if _ENCODER is not None:  # pragma: no cover
-            return len(_ENCODER.encode(string))
+            return len(_ENCODER.encode_ordinary(string))
         return _subn("", string)[1]
     return _num_tokens_cached(string)
 

@@ -12,6 +12,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+def _block_text(b: dict) -> str:
+    """A block's textual form: flowing blocks carry their text; table
+    blocks carry (headers, rows) and render via the byte-exact markdown
+    renderer (joining their empty ``text`` would silently drop table
+    content — caught by review)."""
+    if b["kind"] == "table":
+        from open_parse_spark.functions.tables import output_to_markdown
+
+        return output_to_markdown(list(b.get("headers", [])), b.get("rows", []))
+    return b["text"]
+
+
 def extract_main_content(
     df: DataFrame, id_col: str = "doc_id", html_col: str = "html"
 ) -> DataFrame:
@@ -42,7 +54,16 @@ def extract_main_content(
                 )
                 bodies.append(
                     "\n\n".join(
-                        b["text"] for b in blocks if b["kind"] != "heading"
+                        t
+                        for t in (
+                            # renders end with a newline; strip it so the
+                            # blank-line join stays uniform (per-block
+                            # output keeps the byte-exact render)
+                            _block_text(b).rstrip("\n")
+                            for b in blocks
+                            if b["kind"] != "heading"
+                        )
+                        if t  # a table with no cells renders empty — skip
                     )
                 )
                 counts.append(len(blocks))
@@ -86,7 +107,7 @@ def extract_blocks(
                     ids.append(doc_id)
                     idxs.append(i)
                     kinds.append(b["kind"])
-                    texts.append(b["text"])
+                    texts.append(_block_text(b))
                     levels.append(b["level"])
             yield pd.DataFrame(
                 {

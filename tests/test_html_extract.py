@@ -303,3 +303,76 @@ def test_extractor_fuzz_never_raises_and_deterministic():
         assert a == b
 
     run()
+
+
+# -- review-fix regressions (code-review findings, each verified failing
+# before its fix) --
+
+
+def test_unclosed_tags_inside_dropped_container_do_not_swallow_doc():
+    bs = extract_main_blocks(
+        "<nav><p>Home<p>About</nav><main><p>Real content here</p></main>"
+    )
+    assert [b["text"] for b in bs] == ["Real content here"]
+    # stray extra closes inside the drop don't end it early either
+    bs2 = extract_main_blocks(
+        '<nav><a href="/">x</a></p></div>boiler</nav><p>kept content</p>'
+    )
+    assert [b["text"] for b in bs2] == ["kept content"]
+    # nested same container tag balances
+    bs3 = extract_main_blocks("<nav>a<nav>b</nav>c</nav><p>kept here</p>")
+    assert [b["text"] for b in bs3] == ["kept here"]
+
+
+def test_role_main_scope_survives_nested_divs():
+    bs = extract_main_blocks(
+        '<div role="main"><div>first part</div><p>second part</p></div>'
+    )
+    assert [b["text"] for b in bs] == ["first part", "second part"]
+
+
+def test_style_and_anchor_end_tags_inside_pre_do_not_leak():
+    bs = extract_main_blocks("<p><b>A <pre><b>code</b></pre> B</b></p>")
+    bolds = [b for b in bs if b.get("runs")]
+    assert any("B" in b["text"] and b["runs"][0][1] for b in bolds)
+
+
+def test_xhtml_self_closed_br_inside_pre():
+    assert (
+        extract_main_blocks("<pre>line1<br/>line2</pre>")[0]["text"]
+        == "line1\nline2"
+    )
+
+
+def test_tables_render_into_joined_body_text(spark):
+    import pandas as pd
+
+    from open_parse_spark.operators.html import extract_main_content
+
+    html = (
+        "<article><p>para1</p>"
+        "<table><tr><th>h1</th><th>h2</th></tr><tr><td>a</td><td>b</td></tr></table>"
+        "<p>para2</p></article>"
+    )
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": [0], "html": [html]}))
+    row = extract_main_content(df).collect()[0]
+    assert "| h1 | h2 |" in row.body_text
+    assert "para1" in row.body_text and "para2" in row.body_text
+    assert "\n\n\n" not in row.body_text  # no empty-block join artifacts
+
+
+def test_html_paragraph_layout_matches_prose_layout():
+    """The html layout re-derives the prose constants; this pins the two
+    paths equal so a tweak to one can't silently diverge the other."""
+    from open_parse_spark.core.payload import _prose_to_elements
+
+    text = "one paragraph of words " * 12
+    html_el = html_to_elements(f"<p>{text.strip()}</p>")[0]
+    prose_el = _prose_to_elements(text.strip())[0]
+    assert html_el.text == prose_el.text
+    assert (html_el.bbox.x0, html_el.bbox.y0, html_el.bbox.x1, html_el.bbox.y1) == (
+        prose_el.bbox.x0,
+        prose_el.bbox.y0,
+        prose_el.bbox.x1,
+        prose_el.bbox.y1,
+    )
