@@ -96,11 +96,14 @@ def conversation_fingerprint_dedup(transcripts: DataFrame) -> DataFrame:
             "\n",
         ).alias("conv_text")
     )
-    fp = F.md5(
-        F.trim(
-            F.regexp_replace(F.lower(F.col("conv_text")), "[^a-z0-9]+", " ")
-        )
+    norm = F.trim(
+        F.regexp_replace(F.lower(F.col("conv_text")), "[^a-z0-9]+", " ")
     )
+    # conversations with no [a-z0-9] at all (non-Latin scripts, emoji-only)
+    # would ALL normalize to "" and collapse into one bogus dup group
+    # (review finding) — fall back to fingerprinting the raw text, which
+    # still groups byte-identical conversations
+    fp = F.md5(F.when(norm == "", F.col("conv_text")).otherwise(norm))
     return (
         assembled.select("conv_id", fp.alias("conv_fp"))
         .groupBy("conv_fp")

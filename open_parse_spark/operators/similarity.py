@@ -48,8 +48,6 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact cosine top-k per query: broadcast(queries) x corpus -> window
     rank.  Output (query_id, neighbor_id, rank, sim4)."""
-    from pyspark.sql.window import Window
-
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
     )
@@ -260,8 +258,6 @@ def ivf_topk(
 
     At 100 TB the assignment is a write-time column (cluster-by), making
     query-time work bucket-pruned scans."""
-    from pyspark.sql.window import Window
-
     centroids = kmeans_centroids(embeddings, k=n_centroids, id_col=id_col, vec_col=vec_col)
     c = embeddings.select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
@@ -316,7 +312,7 @@ def cosine_neardup_pairs(
     threshold: float = 0.35,
     num_planes: int = 8,
     num_tables: int = 16,
-    dim: int = 64,
+    dim: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -337,6 +333,8 @@ def cosine_neardup_pairs(
     vectors are joined back, so the distinct never shuffles vector payloads.
     At 100 TB the bucket ids are write-time columns and this becomes a
     bucket-local self-join."""
+    if dim is None:
+        dim = _dim_of(embeddings, vec_col)
     buckets_udf = lsh_buckets_arrow(num_planes, num_tables, dim)
     e = embeddings.select(
         F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
@@ -395,7 +393,7 @@ def lsh_topk(
     k: int = 5,
     num_planes: int = 4,
     num_tables: int = 16,
-    dim: int = 64,
+    dim: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -406,8 +404,10 @@ def lsh_topk(
     At scale the corpus's L bucket ids are write-time columns; per-query work
     is the union of L bucket-local scans.  Recall/cost trades off with
     (num_planes, num_tables)."""
-    from pyspark.sql.window import Window
-
+    if dim is None:
+        # derive like the IVF path does — a hardcoded width crashes with an
+        # opaque in-executor numpy shape error on any other embedding size
+        dim = _dim_of(embeddings, vec_col)
     buckets_udf = lsh_buckets_arrow(num_planes, num_tables, dim)
     c = embeddings.select(
         F.col(id_col).alias("neighbor_id"),

@@ -1365,7 +1365,10 @@ WITH t AS (
          coalesce(string_agg(text, chr(10) ORDER BY turn_idx), '') AS conv_text
   FROM t GROUP BY conv_id
 )
-SELECT md5(trim(regexp_replace(lower(conv_text), '[^a-z0-9]+', ' ', 'g'))) AS conv_fp,
+SELECT md5(CASE WHEN trim(regexp_replace(lower(conv_text), '[^a-z0-9]+', ' ', 'g')) = ''
+            THEN conv_text
+            ELSE trim(regexp_replace(lower(conv_text), '[^a-z0-9]+', ' ', 'g')) END)
+         AS conv_fp,
        count(*) AS dup_count,
        min(conv_id) AS keep_conv_id
 FROM assembled GROUP BY 1

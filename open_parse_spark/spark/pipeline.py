@@ -170,6 +170,13 @@ def _parse_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 _PRIOR_SPLIT_CONF: dict = {}
 
 
+def _session_key(spark) -> str:
+    # applicationId is stable for a session's lifetime and never reused the
+    # way id(spark) can be after GC (review finding: a recycled address
+    # could restore a dead session's stale conf onto a new session)
+    return spark.sparkContext.applicationId
+
+
 def restore_split_conf(spark) -> None:
     """Restore ``spark.sql.files.maxPartitionBytes`` to its pre-parse value.
 
@@ -178,7 +185,7 @@ def restore_split_conf(spark) -> None:
     terminal action runs, so the parse itself cannot restore it.  Call this
     after the action completes (run_resumable and the CLI do) so unrelated
     later queries in the same session don't inherit tiny splits."""
-    prior = _PRIOR_SPLIT_CONF.pop(id(spark), _MISSING)
+    prior = _PRIOR_SPLIT_CONF.pop(_session_key(spark), _MISSING)
     if prior is _MISSING:
         return
     if prior is None:
@@ -380,8 +387,9 @@ def parse_transcripts(
                 # value, and let terminal operations (run_resumable, CLI,
                 # bench) call restore_split_conf() once their actions finish
                 if total_bytes >= 8 * (1 << 20):
-                    if id(spark) not in _PRIOR_SPLIT_CONF:
-                        _PRIOR_SPLIT_CONF[id(spark)] = spark.conf.get(
+                    key = _session_key(spark)
+                    if key not in _PRIOR_SPLIT_CONF:
+                        _PRIOR_SPLIT_CONF[key] = spark.conf.get(
                             "spark.sql.files.maxPartitionBytes", None
                         )
                     spark.conf.set(

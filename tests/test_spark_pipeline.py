@@ -150,11 +150,15 @@ def test_split_conf_restored_after_parse(spark):
     """Auto skew mode records the prior maxPartitionBytes before lowering it;
     restore_split_conf puts the session back exactly (run_resumable and the
     CLI call it after their terminal actions)."""
-    from open_parse_spark.spark.pipeline import _PRIOR_SPLIT_CONF, restore_split_conf
+    from open_parse_spark.spark.pipeline import (
+        _PRIOR_SPLIT_CONF,
+        _session_key,
+        restore_split_conf,
+    )
 
     prior = spark.conf.get("spark.sql.files.maxPartitionBytes")
     # what auto mode does when the input is >= 8 MiB
-    _PRIOR_SPLIT_CONF[id(spark)] = prior
+    _PRIOR_SPLIT_CONF[_session_key(spark)] = prior
     spark.conf.set("spark.sql.files.maxPartitionBytes", str(1 << 20))
     restore_split_conf(spark)
     assert spark.conf.get("spark.sql.files.maxPartitionBytes") == prior
@@ -292,3 +296,53 @@ def test_resume_overwrites_partial_wave_output(spark, transcripts_df, tmp_path):
         .toPandas()
     )
     pd.testing.assert_frame_equal(resumed, clean)
+
+
+def test_resume_survives_empty_first_wave(spark, tmp_path):
+    """A wave whose buckets hold no conversations (or an empty corpus) must
+    checkpoint zero-row lineage and let later runs proceed — the bare
+    parquet readback used to fail schema inference and wedge resume."""
+    import pandas as pd
+
+    from open_parse_spark.spark.checkpoint import run_resumable
+
+    empty = spark.createDataFrame(
+        [],
+        schema=(
+            "conv_id string, turn_idx int, role string, text string, "
+            "tool string, ts timestamp"
+        ),
+    )
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    res = run_resumable(
+        spark, empty, out, ckpt, n_buckets=4, buckets_per_wave=2, run_id="r"
+    )
+    assert sorted(res.processed_buckets) == [0, 1, 2, 3]
+    ck = spark.read.parquet(ckpt)
+    assert ck.count() == 4
+    assert ck.where("output_nodes != 0").count() == 0
+    # second call: everything already checkpointed
+    res2 = run_resumable(
+        spark, empty, out, ckpt, n_buckets=4, buckets_per_wave=2, run_id="r2"
+    )
+    assert res2.processed_buckets == []
+    assert sorted(res2.skipped_buckets) == [0, 1, 2, 3]
+
+
+def test_resume_refuses_changed_n_buckets(spark, tmp_path, transcripts_df):
+    """Resuming with a different n_buckets would re-parse conversations into
+    new bucket dirs alongside the old ones (double counting) — must raise."""
+    import pytest as _pytest
+
+    from open_parse_spark.spark.checkpoint import run_resumable
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    run_resumable(
+        spark, transcripts_df, out, ckpt, n_buckets=8, buckets_per_wave=8,
+        run_id="r",
+    )
+    with _pytest.raises(ValueError, match="n_buckets"):
+        run_resumable(
+            spark, transcripts_df, out, ckpt, n_buckets=16,
+            buckets_per_wave=8, run_id="r2",
+        )

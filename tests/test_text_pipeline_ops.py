@@ -226,3 +226,53 @@ def test_linear_quality_score_matches_python_reimplementation(spark):
     }
     for i, t in enumerate(texts):
         assert got[i] == py_score(t), (i, t, got[i], py_score(t))
+
+
+def test_conv_fingerprint_nonlatin_conversations_stay_distinct(spark):
+    """All-CJK/emoji conversations normalize to '' under [^a-z0-9]; the raw-
+    text fallback keeps distinct ones distinct while identical ones dedup."""
+    import datetime
+
+    import pandas as pd
+
+    from open_parse_spark.operators.conversations import (
+        conversation_fingerprint_dedup,
+    )
+
+    ts = datetime.datetime(2026, 1, 1)
+    rows = [
+        ("c1", 0, "user", "你好世界", "", ts),
+        ("c2", 0, "user", "完全不同的内容", "", ts),
+        ("c3", 0, "user", "你好世界", "", ts),  # byte-identical to c1
+        ("c4", 0, "user", "hello latin", "", ts),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+        )
+    )
+    out = conversation_fingerprint_dedup(df).collect()
+    groups = {r.keep_conv_id: r.dup_count for r in out}
+    assert groups == {"c1": 2, "c2": 1, "c4": 1}, groups
+
+
+def test_lsh_derives_embedding_dim_from_data(spark):
+    """Non-64-dim embeddings must work without passing dim explicitly."""
+    import pandas as pd
+
+    from open_parse_spark.operators.similarity import lsh_topk
+
+    emb = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "vec_id": range(20),
+                "embedding": [
+                    [float((i * j) % 7 + 1) / 8 for j in range(1, 17)]  # dim 16
+                    for i in range(20)
+                ],
+            }
+        )
+    )
+    queries = emb.where("vec_id < 2")
+    rows = lsh_topk(emb, queries, k=3).collect()
+    assert rows and all(r.rank <= 3 for r in rows)
