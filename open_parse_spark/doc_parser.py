@@ -53,6 +53,8 @@ class BasicIngestionPipeline(IngestionPipeline):
 
     def __init__(self):
         super().__init__(basic_pipeline_transforms())
+        # snapshot for parse_table's stock-pipeline fast-path identity check
+        self._stock_transforms = tuple(self.transformations)
 
 
 class SemanticIngestionPipeline(IngestionPipeline):
@@ -125,11 +127,28 @@ class DocumentParser:
         )
 
         transforms = self.processing_pipeline.transformations
-        if type(self.processing_pipeline) is BasicIngestionPipeline and len(
-            transforms
-        ) == len(basic_pipeline_transforms()):
-            # stock pipeline: use the tuned zero-shuffle path directly
+        if type(self.processing_pipeline) is BasicIngestionPipeline and getattr(
+            self.processing_pipeline, "_stock_transforms", None
+        ) is not None and len(transforms) == len(
+            self.processing_pipeline._stock_transforms
+        ) and all(
+            a is b
+            for a, b in zip(
+                transforms, self.processing_pipeline._stock_transforms
+            )
+        ):
+            # untouched stock pipeline: the tuned zero-shuffle path.  The
+            # check is element-wise IDENTITY against the list captured at
+            # construction — a type+length check alone would silently route
+            # an in-place-replaced transform to the stock path (review)
             return parse_transcripts(transcripts_df, **kwargs)
+        if kwargs:
+            # the custom-pipeline path has no skew/option plumbing; dropping
+            # kwargs silently would diverge from the stock path's behavior
+            raise TypeError(
+                f"parse_table options {sorted(kwargs)} are only supported "
+                "with the stock pipeline"
+            )
 
         def _parse(batches):
             for pdf in batches:

@@ -73,14 +73,17 @@ def asof_join(
         .orderBy(ts, "_side", tie)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # carry ONE struct of the right payload: per-column last(ignorenulls)
+    # would back-fill a legitimately-NULL value in the latest right row from
+    # an OLDER row, fabricating a row that never existed (review finding)
+    payload = F.when(
+        F.col("_side") == 0,
+        F.struct(*[F.col(prefix + c).alias(c) for c in right_cols]),
+    )
     carried = u.select(
-        "*",
-        *[
-            F.last(prefix + c, ignorenulls=True).over(w).alias("_asof_" + c)
-            for c in right_cols
-        ],
+        "*", F.last(payload, ignorenulls=True).over(w).alias("_asof")
     )
     return carried.where(F.col("_side") == 1).select(
         *left.columns,
-        *[F.col("_asof_" + c).alias(prefix + c) for c in right_cols],
+        *[F.col("_asof." + c).alias(prefix + c) for c in right_cols],
     )

@@ -71,9 +71,18 @@ def write_nodes(
         else:
             writer.append()
         return
+    missing = [c for c in partition_cols if c not in nodes.columns]
+    if missing:
+        # silently writing unpartitioned would turn the per-bucket dynamic
+        # overwrite into a FULL-target overwrite, deleting every committed
+        # bucket from earlier waves (review finding)
+        raise ValueError(
+            f"partition columns {missing} absent from nodes "
+            f"(have {nodes.columns}); refusing a non-partitioned overwrite"
+        )
     (
         nodes.write.mode(mode)
-        .partitionBy(*[c for c in partition_cols if c in nodes.columns])
+        .partitionBy(*partition_cols)
         .option("partitionOverwriteMode", "dynamic")
         .parquet(target)
     )

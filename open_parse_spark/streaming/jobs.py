@@ -127,8 +127,16 @@ def streaming_sessionize(
         else:
             session_no, last_ts_us, n_events, start = 0, None, 0, None
         closed = {"session_no": [], "n_events": [], "session_start": []}
-        for pdf in pdf_iter:
-            pdf = pdf.sort_values(["ts", "event_id"])
+        # concat BEFORE sorting: the iterator chunks a key's micro-batch at
+        # the Arrow batch size, and per-chunk sorting would process rows out
+        # of global (ts, event_id) order for keys with >1 chunk, computing
+        # gaps against the wrong predecessor (review finding)
+        chunks = [c for c in pdf_iter if len(c)]
+        for pdf in (
+            [pd.concat(chunks).sort_values(["ts", "event_id"])]
+            if chunks
+            else []
+        ):
             for ts in pdf["ts"]:
                 ts_us = int(ts.value // 1000)  # pandas ns -> us
                 new = (
@@ -184,7 +192,18 @@ def streaming_dedup_exact(
     stream = (
         spark.readStream.schema(TRANSCRIPT_DDL)
         .parquet(input_dir)
-        .select("conv_id", "turn_idx", "ts", F.md5("text").alias("text_hash"))
+        # NULL text would md5 to NULL, and dropDuplicatesWithinWatermark
+        # treats NULL keys as equal — distinct no-text turns would silently
+        # drop (review finding); key them uniquely instead
+        .select(
+            "conv_id",
+            "turn_idx",
+            "ts",
+            F.coalesce(
+                F.md5("text"),
+                F.concat(F.lit("null:"), "conv_id", F.lit(":"), "turn_idx"),
+            ).alias("text_hash"),
+        )
     )
     return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["text_hash"]
@@ -210,7 +229,7 @@ def streaming_decontaminate(
 
     import pandas as pd
 
-    from open_parse_spark.functions.text import word_ngrams
+    from open_parse_spark.functions.text import WORD_RE, word_ngrams
 
     bench_grams = frozenset(
         r["gram"]
@@ -221,7 +240,7 @@ def streaming_decontaminate(
         .collect()
     )
     bc = spark.sparkContext.broadcast(bench_grams)
-    word_re = _re.compile(r"[A-Za-z0-9]+")
+    word_re = _re.compile(WORD_RE)  # the one tokenization contract
 
     def check(batches):
         bench = bc.value

@@ -90,3 +90,32 @@ def test_asof_join_carries_all_left_columns(spark):
     assert set(out.columns) == {"event_id", "user_id", "ts", "payload", "m_ts", "m_event_id"}
     row = out.collect()[0]
     assert row.payload == "extra" and row.m_event_id == 12
+
+
+def test_asof_payload_columns_come_from_one_row(spark):
+    """A NULL in the latest right row must stay NULL — per-column carry
+    would back-fill it from an older row, fabricating a mixed row."""
+    import pandas as pd
+
+    from open_parse_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        pd.DataFrame({"user_id": [1], "ts": [3], "event_id": [100]})
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "user_id": [1, 1],
+                "ts": [1, 2],
+                "event_id": [10, 11],
+                "price": [10.0, 20.0],
+                "qty": [5.0, None],
+            }
+        )
+    )
+    row = asof_join(
+        left, right, key="user_id", ts="ts", tie="event_id",
+        right_cols=("price", "qty"),
+    ).collect()[0]
+    assert row["right_price"] == 20.0
+    assert row["right_qty"] is None, "qty back-filled from an older right row"

@@ -270,3 +270,54 @@ def test_streaming_parse_html_turns_matches_batch(spark, tmp_path):
     )
     pd.testing.assert_frame_equal(got, batch)
     assert len(got) == 6 and got["text"].str.startswith("**Page").all()
+
+
+def test_streaming_sessionize_multichunk_key(spark, tmp_path):
+    """A key whose micro-batch spans multiple Arrow chunks must still be
+    processed in global (ts, event_id) order — per-chunk sorting computed
+    gaps against the wrong predecessor (review finding)."""
+    import datetime
+
+    from open_parse_spark.streaming.jobs import (
+        run_stream_to_memory,
+        streaming_sessionize,
+    )
+
+    d = tmp_path / "events"
+    d.mkdir()
+    base = datetime.datetime(2026, 1, 1)
+    # one user, 40 events in REVERSE time order within the file so chunk 2
+    # holds earlier timestamps than chunk 1; all within one session except a
+    # single > gap jump in the middle
+    rows = []
+    for i in reversed(range(40)):
+        offs = i * 10 + (100000 if i >= 20 else 0)  # 100ks gap -> 2 sessions
+        rows.append((1, i, base + datetime.timedelta(seconds=offs)))
+    pdf = pd.DataFrame(rows, columns=["user_id", "event_id", "ts"]).astype(
+        {"user_id": "int64", "event_id": "int64", "ts": "datetime64[us]"}
+    )
+    pdf.to_parquet(str(d / "f0.parquet"), index=False)
+
+    prior = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        stream = streaming_sessionize(
+            spark, str(d), gap_seconds=3600, watermark="0 seconds"
+        )
+        q = run_stream_to_memory(stream, "sess_chunked", mode="append")
+        q.awaitTermination(120)
+        got = (
+            spark.table("sess_chunked")
+            .orderBy("session_no")
+            .toPandas()
+        )
+    finally:
+        if prior is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set(
+                "spark.sql.execution.arrow.maxRecordsPerBatch", prior
+            )
+    # the first (earlier) session closes via the gap; 20 events in order
+    assert len(got) >= 1
+    assert got.iloc[0]["n_events"] == 20, got
