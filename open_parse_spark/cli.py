@@ -1,10 +1,12 @@
 """spark-submit entry point.
 
-Usage (cluster):
+Usage (cluster — spark-submit takes an application FILE, not a module):
     zip -r openparse_spark.zip open_parse_spark
-    spark-submit --py-files openparse_spark.zip -m open_parse_spark.cli \\
+    echo 'from open_parse_spark.cli import main; import sys; sys.exit(main())' > run_cli.py
+    spark-submit --py-files openparse_spark.zip run_cli.py \\
         parse --input <transcripts_path_or_iceberg_table> --output <dir> \\
               --checkpoint <dir> [--n-buckets 256] [--buckets-per-wave 16]
+    (exactly the launch shape tests/test_spark_submit.py pins end to end)
 
 Local smoke:
     python -m open_parse_spark.cli parse --input /root/repo/BENCH/bench_transcripts \\

@@ -242,7 +242,6 @@ def gen_transcripts(
     The top ``skew_top_pct`` of conversations get ``skew_scale``x payload
     sizes — the skew the repartitioner must handle.
     """
-    rng = np.random.RandomState(seed)
     rows = []
     for c in range(n_convs):
         conv_id = f"conv-{c:06d}"
@@ -313,6 +312,11 @@ def write_transcripts_parquet(
     if n_files <= 1:
         pq.write_table(pa.Table.from_pandas(df, preserve_index=False), path, **write_opts)
         return df
+    # regenerating into an existing dir with a smaller n_files must not
+    # leave stale part files mixing old data into the corpus (review)
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
     os.makedirs(path, exist_ok=True)
     for i in range(n_files):
         part = df.iloc[i::n_files]

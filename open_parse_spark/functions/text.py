@@ -188,6 +188,10 @@ def linear_quality_score(
     100 TB swap the hasher for xxhash64 exactly as the minhash scale path
     does."""
     w = weights if weights is not None else classifier_weights(buckets)
+    # the weight vector's length IS the bucket count: hashing modulo a
+    # different `buckets` would index past the array and element_at's NULL
+    # (or ANSI error) silently zeroes every affected score (review finding)
+    buckets = len(w)
     warr = F.array(*[F.lit(int(v)).cast("long") for v in w])
     ws = words(col)
     bucketed = F.transform(

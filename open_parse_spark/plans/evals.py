@@ -35,6 +35,7 @@ def extraction_metrics(nodes: DataFrame) -> DataFrame:
         F.expr("percentile_approx(n_nodes, 0.99)").alias("p99_nodes_per_turn"),
         F.sum("turn_tokens").alias("tokens"),
         F.expr("percentile_approx(turn_tokens, 0.99)").alias("p99_turn_tokens"),
+        F.max("max_node_tokens").alias("max_node_tokens"),
         # a turn with zero output rows is invisible here; a group with
         # n_nodes == 0 exists only when the turn produced error rows
         F.sum(F.when(F.col("n_nodes") == 0, 1).otherwise(0)).alias(

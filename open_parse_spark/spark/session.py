@@ -32,6 +32,9 @@ def get_spark(
         # smaller input splits -> scan parallelism even on few large files
         # (payloads are fat rows; 32m keeps per-task memory bounded too)
         .config("spark.sql.files.maxPartitionBytes", max_partition_bytes)
+        # NOTE: effective only for python-launched local sessions; under
+        # spark-submit the driver JVM heap is fixed at submit time — pass
+        # --driver-memory there (review finding)
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.sql.session.timeZone", "UTC")
         .getOrCreate()
