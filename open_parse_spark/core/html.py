@@ -342,7 +342,29 @@ class _MainContentParser(HTMLParser):
                 if self._pre_depth:
                     self._pre_depth = 0
                     self._flush_pre()
-                elif not self._table_depth and not self._list_depth:
+                else:
+                    # malformed HTML can close <main> with a table or list
+                    # still open; flush them here too, else their buffered
+                    # content flushes later with in_main=False and is
+                    # dropped by the main-scope filter
+                    if self._table_depth:
+                        self._table_depth = 0
+                        if self._in_cell:
+                            self._cells.append(
+                                _norm("".join(self._cell_buf))
+                            )
+                            self._in_cell = False
+                            self._cell_buf = []
+                        if self._cells:
+                            self._rows.append(self._cells)
+                            self._row_is_header.append(
+                                self._cur_row_header
+                            )
+                            self._cells = []
+                        self._flush_table()
+                    if self._list_depth:
+                        self._list_depth = 0
+                        self._flush_list()
                     self._flush_text()
                 self._main_openers.pop()
 

@@ -24,7 +24,13 @@ try:  # orjson: ~5x faster loads; byte-identical parse trees for our
     import orjson
 
     def _json_loads(s):
-        return orjson.loads(s)
+        try:
+            return orjson.loads(s)
+        except orjson.JSONDecodeError:
+            # orjson rejects NaN/Infinity literals that json.loads accepts;
+            # retry with json so parse output never depends on whether
+            # orjson happens to be installed.
+            return json.loads(s)
 
 except ImportError:  # pragma: no cover
     _json_loads = json.loads

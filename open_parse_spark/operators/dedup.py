@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from open_parse_spark.functions.text import fingerprint, word_ngrams, words
+from open_parse_spark.spark.stage import stage
 
 
 def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -96,7 +97,7 @@ def ngram_jaccard_pairs(
     table; pass False for the pure-declarative plan."""
     grams = _doc_ngrams(df, text_col, id_col, n, max_df)
     if materialize:
-        grams = grams.localCheckpoint(eager=False)
+        grams = stage(grams, eager=False)
     sizes = grams.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams"))
     pairs = (
         grams.alias("a")
@@ -298,7 +299,7 @@ def minhash_neardup_pairs(
     6 scans; see ngram_jaccard_pairs for the trade-off)."""
     ghs = doc_gram_hashes(df, text_col, id_col, n, hasher)
     if materialize:
-        ghs = ghs.localCheckpoint(eager=False)
+        ghs = stage(ghs, eager=False)
     cands = minhash_lsh_candidates(df, text_col, id_col, n, hasher=hasher, grams_df=ghs)
     # df-pruning for verification: drop grams with df > max_df, mirroring
     # ngram_jaccard_pairs (and its oracle) exactly
@@ -346,7 +347,7 @@ def connected_components(
         # materialize once: every propagation iteration joins against edges,
         # and without this the upstream pair generation (e.g. the jaccard
         # gram self-join) re-runs per iteration
-        .localCheckpoint(eager=True)
+        .transform(stage)
     )
     labels = (
         edges.select(F.col("a").alias("id"))
@@ -373,7 +374,7 @@ def connected_components(
         # materialized iteration instead of re-deriving the whole lineage
         # (checkpoint-then-count halves per-iteration work vs count-then-
         # checkpoint, which materialized every iteration twice)
-        new_labels = new_labels.localCheckpoint(eager=True)  # truncate lineage
+        new_labels = stage(new_labels)  # truncate lineage
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")

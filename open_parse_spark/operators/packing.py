@@ -70,7 +70,10 @@ def pack_sequences(
     folds plain int64 columns (no strings cross into Python)."""
     sized = df.select(
         F.col(id_col).cast("long").alias("doc_id"),
-        F.col(shard_col).alias("shard"),
+        # _OUT_SCHEMA pins shard as string; cast so a non-string shard
+        # column (int date bucket, …) can't reach the Arrow stage with a
+        # mismatched schema.
+        F.col(shard_col).cast("string").alias("shard"),
         # NULL text counts as 0 words (size(NULL) is NULL in Spark 3+)
         F.coalesce(word_count(F.col(text_col)), F.lit(0)).alias("n_words"),
     )

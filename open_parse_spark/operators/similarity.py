@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.window import Window
+from open_parse_spark.spark.stage import stage
 
 
 def _as_double(col: Column) -> Column:
@@ -198,7 +199,7 @@ def kmeans_centroids(
         # truncate the iterative lineage: centroids are k tiny rows, but an
         # un-checkpointed loop makes every downstream reference re-execute
         # ALL previous iterations (and ivf_topk references centroids twice)
-        centroids = centroids.localCheckpoint(eager=True)
+        centroids = stage(centroids)
     return centroids
 
 

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from open_parse_spark.functions import text as T
 from open_parse_spark.operators import dedup as D
 from open_parse_spark.operators import similarity as S
+from open_parse_spark.spark.stage import stage
 from open_parse_spark.spark.pipeline import parse_transcripts
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -252,7 +253,7 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries_df = emb.where(F.col("vec_id") < 10)
     # topk results are tiny (10 queries x k); checkpoint them so the recall
     # joins don't re-execute the full scoring DAGs (exact is referenced twice)
-    exact = S.brute_force_topk(emb, queries_df, k=5).localCheckpoint(eager=True)
+    exact = stage(S.brute_force_topk(emb, queries_df, k=5))
     lsh = S.ann_recall(S.lsh_topk(emb, queries_df, k=5), exact).select(
         "query_id", F.lit("lsh").alias("method"), "recall_pct"
     )

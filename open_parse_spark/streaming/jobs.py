@@ -153,9 +153,15 @@ def streaming_sessionize(
                     start = ts.strftime("%Y-%m-%d %H:%M:%S")
                 n_events += 1
                 last_ts_us = ts_us
-        state.update((session_no, last_ts_us, n_events, start))
-        # close idle sessions via event-time timeout at last_ts + gap
-        state.setTimeoutTimestamp(last_ts_us // 1000 + gap_seconds * 1000)
+        # a new key whose micro-batch held only empty chunks has no rows and
+        # last_ts_us stays None — registering state (or a timeout on None)
+        # would crash the query; skip until real rows arrive
+        if last_ts_us is not None:
+            state.update((session_no, last_ts_us, n_events, start))
+            # close idle sessions via event-time timeout at last_ts + gap
+            state.setTimeoutTimestamp(
+                last_ts_us // 1000 + gap_seconds * 1000
+            )
         yield pd.DataFrame(
             {
                 "user_id": [user_id] * len(closed["session_no"]),

@@ -158,3 +158,18 @@ def test_quality_repetition_flags(spark):
         assert short_id in out
         assert out[short_id]["n2"] == 0 and out[short_id]["n3"] == 0
         assert out[short_id]["keep"]
+
+
+def test_pack_sequences_non_string_shard(spark):
+    # shard_col is caller-configurable; an int column (e.g. a date bucket)
+    # must be cast to string before the Arrow stage, not crash on schema
+    # mismatch — ADVICE r2 fix
+    df = spark.createDataFrame(
+        [(1, "a b c", 7), (2, "d e", 7), (3, "f", 8)],
+        "doc_id long, text string, bucket int",
+    )
+    out = {
+        (r["doc_id"], r["shard"]): r["bin_id"]
+        for r in pack_sequences(df, capacity=4, shard_col="bucket").collect()
+    }
+    assert out == {(1, "7"): 0, (2, "7"): 1, (3, "8"): 0}

@@ -376,3 +376,29 @@ def test_html_paragraph_layout_matches_prose_layout():
         prose_el.bbox.x1,
         prose_el.bbox.y1,
     )
+
+
+def test_unclosed_list_inside_main_keeps_in_main():
+    # malformed: </main> arrives while the <ul> is still open — the list
+    # must flush inside the main scope, not later with in_main=False
+    # (where the main-scope filter would drop it) — ADVICE r2 fix
+    html = (
+        "<main><p>intro words here</p><ul><li>alpha</li><li>beta</li>"
+        "</main><footer><p>chrome text</p></footer>"
+    )
+    blocks = extract_main_blocks(html)
+    kinds = [(b["kind"], b["text"]) for b in blocks]
+    assert ("list", "- alpha\n- beta") in kinds
+    assert all("chrome" not in b["text"] for b in blocks)
+
+
+def test_unclosed_table_inside_main_keeps_in_main():
+    html = (
+        "<article><table><tr><th>h</th></tr><tr><td>cell text</td>"
+        "</article><div><p>outside junk</p></div>"
+    )
+    blocks = extract_main_blocks(html)
+    tables = [b for b in blocks if b["kind"] == "table"]
+    assert len(tables) == 1
+    assert tables[0]["headers"] == ["h"] and tables[0]["rows"] == [["cell text"]]
+    assert all("junk" not in b["text"] for b in blocks)

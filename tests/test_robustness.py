@@ -99,3 +99,21 @@ def test_element_heavy_turn_parses_in_linear_time():
     wall = time.monotonic() - t0
     assert nodes, "no output from element-heavy turn"
     assert wall < 30, f"element-heavy turn took {wall:.1f}s (quadratic regression?)"
+
+
+def test_payload_json_nan_literals_parse_identically():
+    # orjson rejects NaN/Infinity literals that json.loads accepts; the
+    # decoder must retry with json so parse output never depends on which
+    # library is installed — ADVICE r2 fix
+    import math
+
+    from open_parse_spark.core.payload import _json_loads
+
+    obj = _json_loads('{"a": NaN, "b": Infinity, "c": -Infinity, "d": 1}')
+    assert math.isnan(obj["a"]) and math.isinf(obj["b"]) and obj["d"] == 1
+    try:
+        _json_loads("not json at all")
+    except ValueError:
+        pass
+    else:  # pragma: no cover
+        raise AssertionError("junk must still raise ValueError")
