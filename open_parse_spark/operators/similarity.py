@@ -245,6 +245,202 @@ def _assign_to_centroids(c: DataFrame, centroids: DataFrame) -> DataFrame:
     return c.select("id", "v", assign(F.col("v")).alias("centroid_id"))
 
 
+# ---------------------------------------------------------------------------
+# fixed-point (integer) IVF variant — oracle-checkable end to end
+# ---------------------------------------------------------------------------
+
+QUANT_SCALE = 1_000_000
+
+
+def quantize_vec(col: Column, scale: int = QUANT_SCALE) -> Column:
+    """array<float> -> array<bigint> via floor(x*scale + 0.5) — explicit
+    floor+0.5 instead of round() so Spark and DuckDB share one rounding rule
+    with no half-even/half-up ambiguity.  Integer vectors make every Lloyd
+    step exact: int64 sums are associative, so centroid updates cannot
+    depend on partition order — the float path's only non-determinism."""
+    return F.transform(
+        _as_double(col),
+        lambda x: F.floor(x * F.lit(float(scale)) + F.lit(0.5)).cast("long"),
+    )
+
+
+def _md5_long(col: Column) -> Column:
+    """The oracle-reproducible 60-bit hash (DuckDB:
+    ``('0x'||substr(md5(x),1,15))::BIGINT``), same trick as the md5 minhash
+    variant — xxhash64 has no DuckDB twin."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+
+
+def int_sqdist(a: Column, b: Column) -> Column:
+    """Exact integer squared L2 between two array<bigint> columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _int_dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _assign_to_centroids_int(c: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Integer twin of ``_assign_to_centroids``: argmin centroid by EXACT
+    int64 squared distance, ties to the lowest centroid_id (numpy argmin
+    keeps the first minimum; rows are sorted by centroid_id).  Same map-only
+    Arrow-matmul shape; at scale=1e6 and dim<=10^3 every intermediate stays
+    far below 2^63."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import LongType
+
+    rows = sorted(centroids.collect(), key=lambda r: r["centroid_id"])
+    if not rows:
+        return c.select(
+            "id", "vq", F.lit(None).cast("long").alias("centroid_id")
+        ).where(F.lit(False))
+    ids = np.array([r["centroid_id"] for r in rows], dtype=np.int64)
+    mat = np.array([r["cq"] for r in rows], dtype=np.int64)  # (k, dim)
+    sq = (mat * mat).sum(axis=1)  # |c|^2 exact, (k,)
+
+    def _argmin(vs):
+        m = np.stack(vs.values).astype(np.int64)  # (n, dim)
+        d = sq[None, :] - 2 * (m @ mat.T)  # |v|^2 omitted: constant per row
+        return pd.Series(ids[d.argmin(axis=1)])
+
+    assign = F.pandas_udf(_argmin, LongType())
+    return c.select("id", "vq", assign(F.col("vq")).alias("centroid_id"))
+
+
+def kmeans_centroids_quantized(
+    embeddings: DataFrame,
+    k: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = QUANT_SCALE,
+) -> DataFrame:
+    """Fixed-point Lloyd: quantize once, then every iteration is integer
+    sums + one declared rounding (floor(sum/count + 0.5)) — bit-identical on
+    any partitioning/engine, which is what lets DuckDB replay the whole
+    quantizer (VERDICT r2 item 5).  Init = k smallest md5-hash ids.  Same
+    shuffle shape as the float path: one broadcast + one groupBy per
+    iteration.  Returns (centroid_id, cq: array<bigint>)."""
+    c = embeddings.select(
+        F.col(id_col).alias("id"), quantize_vec(F.col(vec_col), scale).alias("vq")
+    )
+    init = (
+        c.withColumn("h", _md5_long(F.col("id")))
+        .orderBy("h")
+        .limit(k)
+        .select(
+            F.row_number().over(Window.orderBy("h")).alias("centroid_id"),
+            F.col("vq").alias("cq"),
+        )
+    )
+    dim = _dim_of(embeddings, vec_col)
+    if dim == 0:
+        return init
+    centroids = init
+    for _ in range(iters):
+        assigned = _assign_to_centroids_int(c, centroids)
+        centroids = assigned.groupBy("centroid_id").agg(
+            F.array(
+                *[
+                    # declared fixed-point rounding: sum and count are exact
+                    # integers < 2^53, so sum/count is one correctly-rounded
+                    # double division — identical in DuckDB
+                    F.floor(
+                        F.sum(F.element_at("vq", i + 1)).cast("double")
+                        / F.count(F.lit(1))
+                        + F.lit(0.5)
+                    )
+                    .cast("long")
+                    .alias(f"d{i}")
+                    for i in range(dim)
+                ]
+            ).alias("cq")
+        )
+        centroids = stage(centroids)
+    return centroids
+
+
+def ivf_topk_quantized(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = QUANT_SCALE,
+) -> DataFrame:
+    """IVF top-k over the fixed-point quantizer: identical plan shape to
+    ``ivf_topk`` (broadcast centroids, bucket-pruned probes, one corpus
+    pass), but every distance/score is derived from exact integers so the
+    result is engine-reproducible.  Scoring: integer dot products -> one
+    double division -> round(4).  The float ``ivf_topk`` stays the scale
+    default (no quantization error); this variant is the value-checked twin.
+    """
+    centroids = kmeans_centroids_quantized(
+        embeddings, k=n_centroids, iters=iters, id_col=id_col,
+        vec_col=vec_col, scale=scale,
+    )
+    c = embeddings.select(
+        F.col(id_col).alias("id"), quantize_vec(F.col(vec_col), scale).alias("vq")
+    )
+    corpus_assigned = _assign_to_centroids_int(c, centroids).select(
+        F.col("id").alias("neighbor_id"), F.col("vq").alias("cvq"), "centroid_id"
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        quantize_vec(F.col(vec_col), scale).alias("qvq"),
+    )
+    qd = q.crossJoin(F.broadcast(centroids))
+    wq = Window.partitionBy("query_id").orderBy(F.col("qdist"), F.col("centroid_id"))
+    probes = (
+        qd.select(
+            "query_id",
+            "qvq",
+            "centroid_id",
+            int_sqdist(F.col("qvq"), F.col("cq")).alias("qdist"),
+        )
+        .withColumn("pr", F.row_number().over(wq))
+        .where(F.col("pr") <= n_probe)
+        .select("query_id", "qvq", "centroid_id")
+    )
+    sim = _int_dot(F.col("qvq"), F.col("cvq")).cast("double") / (
+        F.sqrt(_int_dot(F.col("qvq"), F.col("qvq")).cast("double"))
+        * F.sqrt(_int_dot(F.col("cvq"), F.col("cvq")).cast("double"))
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(corpus_assigned, "centroid_id")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.round("sim", 4).alias("sim4"),
+        )
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     queries: DataFrame,
