@@ -33,6 +33,15 @@ try:  # pragma: no cover - exercised only when tiktoken is installed
 except Exception:  # pragma: no cover
     _ENCODER = None
 
+# middle preference tier: the vendored BPE engine (core/bpe.py) — exact
+# cl100k counts when a vocabulary file is dropped at $OPEN_PARSE_BPE_PATH
+# (or open_parse_spark/data/bpe/), no tiktoken install needed
+_BPE = None
+if _ENCODER is None:
+    from open_parse_spark.core import bpe as _bpe_mod
+
+    _BPE = _bpe_mod.load_default()
+
 # cl100k_base-style pre-tokenizer where EVERY match counts as exactly one
 # token (letter runs are chunked to <=4 chars by the regex engine itself, so
 # counting = one C-level findall pass, no per-piece Python):
@@ -70,6 +79,8 @@ def _num_tokens_cached(string: str) -> int:
         # tokens like '<|endoftext|>' (common in scraped ML content), and
         # the batch path already uses the ordinary variant
         return len(_ENCODER.encode_ordinary(string))
+    if _BPE is not None:
+        return _BPE.count(string)
     return _subn("", string)[1]
 
 
@@ -84,6 +95,8 @@ def num_tokens(string: Optional[str]) -> int:
     if len(string) > _CACHE_MAX_LEN:
         if _ENCODER is not None:  # pragma: no cover
             return len(_ENCODER.encode_ordinary(string))
+        if _BPE is not None:
+            return _BPE.count(string)
         return _subn("", string)[1]
     return _num_tokens_cached(string)
 
