@@ -322,6 +322,29 @@ def main() -> None:
         _noop_write(q())
         query_secs[name] = round(time.monotonic() - t0, 3)
 
+    # streaming twin: the same parse as a Structured Streaming job over the
+    # bench corpus (4 micro-batches via maxFilesPerTrigger), noop sink —
+    # times the incremental-ingest shape the 10^12-turn corpus actually uses
+    import shutil as _shutil
+    import tempfile
+
+    from open_parse_spark.streaming.jobs import streaming_parse
+
+    ckpt = tempfile.mkdtemp(prefix="bench_stream_ckpt_")
+    try:
+        t0 = time.monotonic()
+        sq = (
+            streaming_parse(spark, bench_path, max_files_per_trigger=8)
+            .writeStream.format("noop")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        sq.awaitTermination()
+        query_secs["streaming_parse"] = round(time.monotonic() - t0, 3)
+    finally:
+        _shutil.rmtree(ckpt, ignore_errors=True)
+
     suite_s1, suite_t1 = _cpu_steal_pct()
     suite_steal = 100.0 * (suite_s1 - suite_s0) / max(1, suite_t1 - suite_t0)
 

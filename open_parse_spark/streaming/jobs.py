@@ -79,6 +79,7 @@ def streaming_sessionize(
     input_dir: str,
     gap_seconds: int = 1800,
     watermark: str = "2 hours",
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """Custom STATEFUL streaming operator via ``applyInPandasWithState``:
     gap-based sessionization per user — the streaming twin of
@@ -92,14 +93,13 @@ def streaming_sessionize(
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    ev = (
-        spark.readStream.schema(
-            "event_id long, ts timestamp, user_id long, event_type string, "
-            "value double, props string"
-        )
-        .parquet(input_dir)
-        .withWatermark("ts", watermark)
+    reader = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
     )
+    if max_files_per_trigger:  # per-file micro-batches (late-data tests)
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    ev = reader.parquet(input_dir).withWatermark("ts", watermark)
 
     out_schema = (
         "user_id long, session_no long, n_events long, session_start string"
@@ -127,6 +127,13 @@ def streaming_sessionize(
         else:
             session_no, last_ts_us, n_events, start = 0, None, 0, None
         closed = {"session_no": [], "n_events": [], "session_start": []}
+        # Spark does NOT pre-filter late rows for arbitrary stateful ops:
+        # a beyond-watermark straggler reaches this function, and letting it
+        # rewind last_ts would both corrupt the open session and make the
+        # timeout registration below crash (timeout earlier than watermark
+        # is rejected by the engine — caught by the late-data fuzz test).
+        # Enforce the watermark contract ourselves: drop rows at or below it.
+        wm_us = state.getCurrentWatermarkMs() * 1000
         # concat BEFORE sorting: the iterator chunks a key's micro-batch at
         # the Arrow batch size, and per-chunk sorting would process rows out
         # of global (ts, event_id) order for keys with >1 chunk, computing
@@ -139,6 +146,8 @@ def streaming_sessionize(
         ):
             for ts in pdf["ts"]:
                 ts_us = int(ts.value // 1000)  # pandas ns -> us
+                if wm_us and ts_us < wm_us:
+                    continue  # late straggler: dropped, like windowed aggs
                 new = (
                     last_ts_us is None
                     or ts_us - last_ts_us > gap_seconds * 1_000_000
@@ -158,9 +167,17 @@ def streaming_sessionize(
         # would crash the query; skip until real rows arrive
         if last_ts_us is not None:
             state.update((session_no, last_ts_us, n_events, start))
-            # close idle sessions via event-time timeout at last_ts + gap
+            # close idle sessions via event-time timeout at last_ts + gap;
+            # when only late-filtered rows arrived this batch the natural
+            # timeout can already lie behind the advanced watermark — the
+            # engine rejects that, so clamp to just above it (the session
+            # then closes at the next watermark advance, which is when it
+            # would fire anyway)
             state.setTimeoutTimestamp(
-                last_ts_us // 1000 + gap_seconds * 1000
+                max(
+                    last_ts_us // 1000 + gap_seconds * 1000,
+                    state.getCurrentWatermarkMs() + 1,
+                )
             )
         yield pd.DataFrame(
             {
@@ -184,6 +201,7 @@ def streaming_dedup_exact(
     spark: SparkSession,
     input_dir: str,
     watermark: str = "1 hour",
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """Streaming twin of ``operators/dedup.py:exact_duplicates``'s keep-one
     side: emit the first turn seen for each distinct text hash, with state
@@ -195,9 +213,11 @@ def streaming_dedup_exact(
     At 100 TB this assumes duplicates arrive within the watermark of each
     other (true for crawl/ingest bursts); cross-window dups are left to the
     batch dedup pass — the standard lambda split."""
+    reader = spark.readStream.schema(TRANSCRIPT_DDL)
+    if max_files_per_trigger:  # per-file micro-batches (late-data tests)
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = (
-        spark.readStream.schema(TRANSCRIPT_DDL)
-        .parquet(input_dir)
+        reader.parquet(input_dir)
         # NULL text would md5 to NULL, and dropDuplicatesWithinWatermark
         # treats NULL keys as equal — distinct no-text turns would silently
         # drop (review finding); key them uniquely instead

@@ -1,0 +1,202 @@
+"""Out-of-order / late-data hardening for the stateful streaming operators
+(VERDICT r2 item 6): random event-time jitter within micro-batches, file-
+ordered arrival across micro-batches, and beyond-watermark stragglers.
+
+Semantics pinned here:
+- ``streaming_sessionize``: closed sessions are exactly-once and a subset of
+  the batch sessionization over the rows the stream actually accepted;
+  every batch session that a later same-user session gap-closes is emitted;
+  beyond-watermark stragglers are DROPPED by the engine before the state
+  function (they must not corrupt open-session state).
+- ``streaming_dedup_exact``: within-watermark duplicates collapse to one
+  row; a duplicate arriving beyond the watermark of its first copy may
+  legitimately re-emit (the documented lambda split) but distinct texts are
+  never lost.
+"""
+
+import datetime
+import random
+
+import pandas as pd
+import pytest
+
+
+def _write_events(path, rows):
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ).astype(
+        {
+            "event_id": "int64",
+            "ts": "datetime64[us]",
+            "user_id": "int64",
+            "event_type": "object",
+            "value": "float64",
+            "props": "object",
+        }
+    )
+    pdf.to_parquet(path, index=False)
+    return pdf
+
+
+def _batch_sessions(events, gap_seconds):
+    """Driver-side total-order sessionization (the batch-twin semantics)."""
+    out = []
+    for uid, grp in events.groupby("user_id"):
+        grp = grp.sort_values(["ts", "event_id"])
+        session_no, n, start, last = 0, 0, None, None
+        for ts in grp["ts"]:
+            if last is None or (ts - last).total_seconds() > gap_seconds:
+                if n:
+                    out.append((uid, session_no, n, start))
+                session_no += 1
+                n = 0
+                start = ts.strftime("%Y-%m-%d %H:%M:%S")
+            n += 1
+            last = ts
+        if n:
+            out.append((uid, session_no, n, start))
+    return out
+
+
+@pytest.mark.slow
+def test_sessionize_fuzz_jitter_across_microbatches(spark, tmp_path):
+    """3 per-file micro-batches; rows shuffled within each file; per-user
+    time ranges advance with the files (in-order across batches, arbitrary
+    within).  Closed sessions must be exactly-once and match the driver
+    replay's non-final sessions."""
+    rng = random.Random(1234)
+    base = datetime.datetime(2026, 1, 1)
+    gap = 600
+    d = tmp_path / "ev"
+    d.mkdir()
+    rows_all, eid = [], 0
+    for f in range(3):
+        rows = []
+        for uid in range(1, 7):
+            if rng.random() < 0.2:  # user skips this file -> big gap
+                continue
+            # each file covers a disjoint 1h range; events jitter inside
+            t0 = base + datetime.timedelta(hours=3 * f)
+            n = rng.randint(3, 12)
+            offs = sorted(rng.randint(0, 900) for _ in range(n))
+            for o in offs:
+                rows.append(
+                    (eid, t0 + datetime.timedelta(seconds=o), uid, "e", 0.0, "")
+                )
+                eid += 1
+        rng.shuffle(rows)  # out-of-order WITHIN the micro-batch
+        _write_events(str(d / f"f{f}.parquet"), rows)
+        rows_all.extend(rows)
+
+    from open_parse_spark.streaming.jobs import (
+        run_stream_to_memory,
+        streaming_sessionize,
+    )
+
+    stream = streaming_sessionize(
+        spark, str(d), gap_seconds=gap, watermark="0 seconds",
+        max_files_per_trigger=1,
+    )
+    q = run_stream_to_memory(stream, "sess_fuzz", mode="append")
+    q.awaitTermination(180)
+    got = spark.table("sess_fuzz").toPandas()
+    got_set = set(
+        map(tuple, got[["user_id", "session_no", "n_events", "session_start"]]
+            .itertuples(index=False))
+    )
+    assert len(got) == len(got_set), "duplicate closed session emitted"
+
+    events = pd.DataFrame(
+        rows_all, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    batch = _batch_sessions(events, gap)
+    batch_set = set(batch)
+    last_per_user = {}
+    for uid, sno, *_ in batch:
+        last_per_user[uid] = max(last_per_user.get(uid, 0), sno)
+    closed_set = {s for s in batch if s[1] < last_per_user[s[0]]}
+    assert closed_set <= got_set, f"lost gap-closed sessions: {closed_set - got_set}"
+    assert got_set <= batch_set, f"phantom sessions: {got_set - batch_set}"
+
+
+@pytest.mark.slow
+def test_sessionize_beyond_watermark_straggler_dropped(spark, tmp_path):
+    """A straggler older than the watermark must be dropped by the engine,
+    not merged into (or corrupting) the user's open-session state."""
+    base = datetime.datetime(2026, 1, 1, 12)
+    d = tmp_path / "ev"
+    d.mkdir()
+    # file 0: user 1, two sessions (gap 7200 > 600) -> first closes via gap
+    rows0 = [
+        (0, base, 1, "e", 0.0, ""),
+        (1, base + datetime.timedelta(seconds=60), 1, "e", 0.0, ""),
+        (2, base + datetime.timedelta(seconds=7200), 1, "e", 0.0, ""),
+    ]
+    _write_events(str(d / "f0.parquet"), rows0)
+    # file 1: straggler a full day BEFORE file 0 — far beyond the 10-minute
+    # watermark once batch 0 advanced it
+    rows1 = [(3, base - datetime.timedelta(days=1), 1, "e", 0.0, "")]
+    _write_events(str(d / "f1.parquet"), rows1)
+
+    from open_parse_spark.streaming.jobs import (
+        run_stream_to_memory,
+        streaming_sessionize,
+    )
+
+    stream = streaming_sessionize(
+        spark, str(d), gap_seconds=600, watermark="10 minutes",
+        max_files_per_trigger=1,
+    )
+    q = run_stream_to_memory(stream, "sess_late", mode="append")
+    q.awaitTermination(120)
+    got = spark.table("sess_late").toPandas()
+    # exactly the one gap-closed session (2 events at base); the straggler
+    # neither created a phantom session nor re-opened/corrupted state
+    closed = set(
+        map(tuple, got[["user_id", "session_no", "n_events", "session_start"]]
+            .itertuples(index=False))
+    )
+    assert (1, 1, 2, base.strftime("%Y-%m-%d %H:%M:%S")) in closed
+    assert all(n == 2 for (_, _, n, _) in closed), got
+
+
+@pytest.mark.slow
+def test_dedup_within_watermark_dupes_collapse(spark, tmp_path):
+    """Duplicates spread across micro-batches but within the watermark must
+    collapse to one row; distinct texts always survive."""
+    rng = random.Random(99)
+    base = datetime.datetime(2026, 1, 1)
+    d = tmp_path / "turns"
+    d.mkdir()
+    texts = [f"document body {i}" for i in range(10)]
+    seen_rows = []
+    for f in range(3):
+        rows = []
+        for i, t in enumerate(texts):
+            # each text appears in 1-3 files; ts jitters within 10 min
+            if f == 0 or rng.random() < 0.5:
+                ts = base + datetime.timedelta(
+                    seconds=f * 60 + rng.randint(0, 600)
+                )
+                rows.append((f"c{f}", i, "user", t, "", ts))
+        rng.shuffle(rows)
+        pdf = pd.DataFrame(
+            rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+        ).astype({"turn_idx": "int32", "ts": "datetime64[us]"})
+        pdf.to_parquet(str(d / f"f{f}.parquet"), index=False)
+        seen_rows.extend(rows)
+
+    from open_parse_spark.streaming.jobs import (
+        run_stream_to_memory,
+        streaming_dedup_exact,
+    )
+
+    stream = streaming_dedup_exact(
+        spark, str(d), watermark="1 hour", max_files_per_trigger=1
+    )
+    q = run_stream_to_memory(stream, "dedup_fuzz", mode="append")
+    q.awaitTermination(120)
+    got = spark.table("dedup_fuzz").toPandas()
+    # all duplicates are within the 1h watermark -> exactly one row per text
+    assert len(got) == len(texts), got.sort_values("text_hash")
+    assert got["text_hash"].nunique() == len(texts)
