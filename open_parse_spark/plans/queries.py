@@ -323,7 +323,10 @@ SELECT query_id, neighbor_id, rank, round(sim, 4) AS sim4 FROM r WHERE rank <= 5
 
 def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """recall@5 of the LSH and IVF paths vs brute force, per query — the
-    pipeline evaluates its own approximations."""
+    pipeline evaluates its own approximations.  Round 3: the IVF leg uses
+    the fixed-point quantizer, so ALL THREE legs (exact, literal-plane LSH,
+    integer-Lloyd IVF) are engine-reproducible and the whole evaluation is
+    oracle-checked — previously rows-only."""
     emb = _tbl(spark, sf_dir, "embeddings")
     queries_df = emb.where(F.col("vec_id") < 10)
     # topk results are tiny (10 queries x k); checkpoint them so the recall
@@ -332,10 +335,76 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     lsh = S.ann_recall(S.lsh_topk(emb, queries_df, k=5), exact).select(
         "query_id", F.lit("lsh").alias("method"), "recall_pct"
     )
-    ivf = S.ann_recall(S.ivf_topk(emb, queries_df, k=5), exact).select(
+    ivf = S.ann_recall(S.ivf_topk_quantized(emb, queries_df, k=5), exact).select(
         "query_id", F.lit("ivf").alias("method"), "recall_pct"
     )
     return lsh.union(ivf)
+
+
+def _sql_between(sql: str, start: str, end: str) -> str:
+    """Slice a CTE chain out of an existing oracle (keeps one source of
+    truth for the quantized-IVF replay instead of a second copy)."""
+    i = sql.index(start)
+    j = sql.index(end)
+    return sql[i:j]
+
+
+# the quantized-IVF chain from SQL_ANN_IVF, ending at its top-k CTE `r`
+_IVF_CHAIN = _sql_between(SQL_ANN_IVF, "c AS (", "\nSELECT query_id")
+
+SQL_ANN_RECALL = f"""
+WITH fq AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10
+), fc AS (
+  SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings
+), qb AS (
+{_LSH_QB.replace("FROM q", "FROM fq")}
+), cb AS (
+{_LSH_CB.replace("FROM c", "FROM fc")}
+), cand AS (
+  SELECT DISTINCT query_id, neighbor_id FROM qb JOIN cb USING (tbl, bucket)
+  WHERE query_id <> neighbor_id
+), ls AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         list_dot_product(qv, cv) /
+         (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS sim
+  FROM cand
+  JOIN fq ON fq.query_id = cand.query_id
+  JOIN fc ON fc.neighbor_id = cand.neighbor_id
+), lsh AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+    FROM ls) t WHERE rank <= 5
+), es AS (
+  SELECT fq.query_id, fc.neighbor_id,
+         list_dot_product(qv, cv) /
+         (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS sim
+  FROM fq, fc WHERE fq.query_id <> fc.neighbor_id
+), ex AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+    FROM es) t WHERE rank <= 5
+), {_IVF_CHAIN}, ivf AS (
+  SELECT query_id, neighbor_id FROM r WHERE rank <= 5
+), base AS (
+  SELECT query_id, count(*) AS total FROM ex GROUP BY query_id
+), hits_lsh AS (
+  SELECT query_id, count(*) AS hits
+  FROM ex JOIN lsh USING (query_id, neighbor_id) GROUP BY query_id
+), hits_ivf AS (
+  SELECT query_id, count(*) AS hits
+  FROM ex JOIN ivf USING (query_id, neighbor_id) GROUP BY query_id
+)
+SELECT base.query_id, 'lsh' AS method,
+       (coalesce(hits, 0) * 100 / total)::BIGINT AS recall_pct
+FROM base LEFT JOIN hits_lsh USING (query_id)
+UNION ALL
+SELECT base.query_id, 'ivf' AS method,
+       (coalesce(hits, 0) * 100 / total)::BIGINT AS recall_pct
+FROM base LEFT JOIN hits_ivf USING (query_id)
+"""
 
 
 def q_parse_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2353,7 +2422,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "dedup_minhash": (q_dedup_minhash, SQL_DEDUP_MINHASH),
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
     "ann_ivf": (q_ann_ivf, SQL_ANN_IVF),
-    "ann_recall": (q_ann_recall, None),
+    "ann_recall": (q_ann_recall, SQL_ANN_RECALL),
     "parse_semantic": (q_parse_semantic, None),
     "export_relations": (q_export_relations, None),
     "conversation_assembly": (q_conversation_assembly, None),
