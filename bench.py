@@ -247,6 +247,8 @@ def main() -> None:
         "training_pipeline_full",
         "html_extract",
         "quality_classifier",
+        "doc_chunks",
+        "url_domains",
     ]
 
     query_secs: dict[str, float] = {}

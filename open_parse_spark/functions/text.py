@@ -211,3 +211,22 @@ def linear_quality_score(
         ),
         F.lit(0).cast("long"),
     )
+
+
+# web-scale curation: URL / domain extraction, all JVM-side.  The pattern is
+# the verified cross-engine subset (explicit ASCII classes; every special
+# char is literal inside a class in both Java regex and RE2), and domains
+# are extract-then-lower per the dialect rules (tests/test_dialect_parity
+# conventions).
+URL_RE = r"https?://[A-Za-z0-9._~:/?#@!$&'()*+,;=%-]+"
+_DOMAIN_RE = r"https?://([A-Za-z0-9.-]+)"
+
+
+def extract_urls(col: Column) -> Column:
+    """All http(s) URLs in a text column, in order (array<string>)."""
+    return F.regexp_extract_all(col, F.lit(URL_RE), 0)
+
+
+def url_domain(col: Column) -> Column:
+    """Lower-cased authority (host) of a single URL string; '' if none."""
+    return F.lower(F.regexp_extract(col, _DOMAIN_RE, 1))

@@ -1,0 +1,81 @@
+"""Token-window document chunking — the downstream op the reference exists
+to feed (open-parse chunks documents for LLM ingestion; its semantic
+pipeline merges nodes into embedding-sized pieces).  This is the corpus-
+scale twin: split every document into overlapping word windows sized for an
+embedding/context budget.
+
+Whole plan is JVM-side (regex word split -> sequence/explode -> slice/join):
+no Python, no shuffle — a map-only projection whose output is ~n_chunks/doc
+rows.  At 100 TB that matters: chunking is usually the LAST fan-out before
+embedding, so keeping it inside whole-stage codegen means the only cost is
+the write.  Deterministic integer arithmetic (stride walk, ceil-div) so the
+DuckDB oracle replays it exactly (registry ``doc_chunks``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from open_parse_spark.functions.text import words
+
+
+def chunk_documents(
+    df: DataFrame,
+    window: int = 128,
+    overlap: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split each doc's word sequence into windows of ``window`` words that
+    overlap by ``overlap``; the final window may be shorter.  Docs with zero
+    words produce zero chunks.  Returns
+    (doc_id, chunk_idx, n_words, chunk_text).
+
+    Chunk starts walk at ``stride = window - overlap``:
+    ``n_chunks = ceil((n - overlap) / stride)`` for ``n > overlap`` else 1 —
+    every word lands in at least one chunk and consecutive chunks share
+    exactly ``overlap`` words (except a short tail)."""
+    if not 0 <= overlap < window:
+        raise ValueError("need 0 <= overlap < window")
+    stride = window - overlap
+    sized = df.select(
+        F.col(id_col).alias("doc_id"),
+        words(F.col(text_col)).alias("ws"),
+    ).select(
+        "doc_id",
+        "ws",
+        F.size("ws").alias("n"),
+    ).where(F.col("n") > 0).select(
+        "doc_id",
+        "ws",
+        # exact integer ceil-div, replayed verbatim by the oracle
+        F.when(
+            F.col("n") > overlap,
+            ((F.col("n") - overlap + (stride - 1)) / stride).cast("long"),
+        )
+        .otherwise(F.lit(1))
+        .alias("n_chunks"),
+    )
+    return sized.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), (F.col("n_chunks") - 1).cast("int"))).alias(
+            "ci"
+        ),
+        "ws",
+    ).select(
+        "doc_id",
+        F.col("ci").cast("long").alias("chunk_idx"),
+        "ws",
+    ).select(
+        "doc_id",
+        "chunk_idx",
+        F.size(
+            F.slice(F.col("ws"), (F.col("chunk_idx") * stride + 1).cast("int"), window)
+        )
+        .cast("long")
+        .alias("n_words"),
+        F.array_join(
+            F.slice(F.col("ws"), (F.col("chunk_idx") * stride + 1).cast("int"), window),
+            " ",
+        ).alias("chunk_text"),
+    )

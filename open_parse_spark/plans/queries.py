@@ -1149,6 +1149,84 @@ SQL_LANG_ID = (
 )
 
 
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window chunking (the op the reference's node pipeline feeds):
+    window=24/overlap=8 so the sf corpus (10-99 words/doc) actually produces
+    multi-chunk docs and the stride/ceil-div arithmetic is exercised."""
+    from open_parse_spark.operators.chunking import chunk_documents
+
+    return chunk_documents(_tbl(spark, sf_dir, "documents"), window=24, overlap=8)
+
+
+SQL_DOC_CHUNKS = """
+WITH w AS (
+  SELECT doc_id,
+         list_transform(regexp_extract_all(text, '[A-Za-z0-9]+'), x -> lower(x)) AS ws
+  FROM documents
+), sized AS (
+  SELECT doc_id, ws, len(ws) AS n,
+         CASE WHEN len(ws) > 8 THEN (len(ws) - 8 + 15) // 16 ELSE 1 END AS n_chunks
+  FROM w WHERE len(ws) > 0
+), idx AS (
+  SELECT doc_id, ws, unnest(range(0, n_chunks))::BIGINT AS chunk_idx FROM sized
+)
+SELECT doc_id, chunk_idx,
+       len(list_slice(ws, chunk_idx*16 + 1, chunk_idx*16 + 24))::BIGINT AS n_words,
+       array_to_string(list_slice(ws, chunk_idx*16 + 1, chunk_idx*16 + 24), ' ') AS chunk_text
+FROM idx
+"""
+
+
+def q_url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain URL stats — the crawl-side bookkeeping every web-scale
+    pipeline needs (blocklists, per-domain quotas).  The synthetic corpus
+    has no URLs, so the query INJECTS deterministic ones (mixed scheme and
+    case) before extracting — the gate then checks extraction, domain
+    parsing, lowering and the aggregation, not a no-op (same pattern as
+    boilerplate_lines)."""
+    docs = _tbl(spark, sf_dir, "documents")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" see https://Ex"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".com/p/"),
+            F.col("doc_id").cast("string"),
+            F.lit(" and http://site"),
+            (F.col("doc_id") % 3).cast("string"),
+            F.lit(".org/x?q=1&r=2 end"),
+        ).alias("text"),
+    )
+    urls = injected.select(
+        "doc_id", F.explode(T.extract_urls(F.col("text"))).alias("url")
+    )
+    return urls.groupBy(T.url_domain(F.col("url")).alias("domain")).agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+
+
+SQL_URL_DOMAINS = """
+WITH t AS (
+  SELECT doc_id,
+         text || ' see https://Ex' || (doc_id % 7)::VARCHAR || '.com/p/' ||
+         doc_id::VARCHAR || ' and http://site' || (doc_id % 3)::VARCHAR ||
+         '.org/x?q=1&r=2 end' AS text
+  FROM documents
+), u AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(text,
+           'https?://[A-Za-z0-9._~:/?#@!$&''()*+,;=%-]+')) AS url
+  FROM t
+)
+SELECT lower(regexp_extract(url, 'https?://([A-Za-z0-9.-]+)', 1)) AS domain,
+       count(*)::BIGINT AS n_urls,
+       count(DISTINCT doc_id)::BIGINT AS n_docs
+FROM u GROUP BY 1
+"""
+
+
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _tbl(spark, sf_dir, "embeddings")
     return S.brute_force_topk(emb, emb.where(F.col("vec_id") < 10), k=5)
@@ -2462,6 +2540,8 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "doc_split": (q_doc_split, SQL_DOC_SPLIT),
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
     "lang_id": (q_lang_id, SQL_LANG_ID),
+    "doc_chunks": (q_doc_chunks, SQL_DOC_CHUNKS),
+    "url_domains": (q_url_domains, SQL_URL_DOMAINS),
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
     "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
     "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),

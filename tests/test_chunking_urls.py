@@ -1,0 +1,104 @@
+"""Chunking + URL ops (round 3): invariants the sf-gate's value equality
+can't express — chunk coverage/overlap/reassembly, and Java-vs-RE2 dialect
+parity for the URL pattern on crafted hostile strings (the corpus-level
+oracle already pins engine equality on injected URLs)."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from open_parse_spark.functions.text import URL_RE, extract_urls, url_domain
+from open_parse_spark.operators.chunking import chunk_documents
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "one two three four five six seven eight nine ten"),
+        (1, "single"),
+        (2, " ".join(f"w{i}" for i in range(100))),
+        (3, ""),           # zero words -> zero chunks
+        (4, None),         # NULL text -> zero chunks
+        (5, "...!!!"),     # no word chars -> zero chunks
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_chunk_coverage_and_overlap(docs):
+    out = chunk_documents(docs, window=6, overlap=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == {0, 1, 2}  # empty/NULL/punct docs chunkless
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r["chunk_idx"])
+        assert [c["chunk_idx"] for c in chunks] == list(range(len(chunks)))
+        words_lists = [c["chunk_text"].split(" ") for c in chunks]
+        for c, wl in zip(chunks, words_lists):
+            assert c["n_words"] == len(wl) <= 6
+        # every full-width chunk starts with the previous chunk's last
+        # `overlap` words (stride walk)
+        for a, b in zip(words_lists, words_lists[1:]):
+            assert b[:2] == a[4:6], (doc_id, a, b)
+    # exact reassembly check on doc 2 (100 words)
+    wl2 = [c["chunk_text"].split(" ") for c in sorted(by_doc[2], key=lambda r: r["chunk_idx"])]
+    rebuilt = wl2[0] + [w for wl in wl2[1:] for w in wl[2:]]
+    assert rebuilt == [f"w{i}" for i in range(100)]
+
+
+def test_chunk_single_window_doc(docs):
+    out = {
+        r["doc_id"]: r
+        for r in chunk_documents(docs, window=128, overlap=32).collect()
+    }
+    assert out[0]["n_words"] == 10 and out[0]["chunk_idx"] == 0
+    assert out[1]["chunk_text"] == "single"
+    assert len(out) == 3
+
+
+def test_chunk_rejects_bad_params(docs):
+    with pytest.raises(ValueError):
+        chunk_documents(docs, window=8, overlap=8)
+    with pytest.raises(ValueError):
+        chunk_documents(docs, window=8, overlap=-1)
+
+
+HOSTILE_URLS = [
+    "plain text no urls",
+    "see https://Example.COM/Path?a=1&b=%20#frag end",
+    "multi http://a.b.c/x https://d.e/y;z='q'(r)*s,t end",
+    "tight(https://paren.com/inside)after",
+    "unicode café https://host.com/café-path stops-at-unicode",
+    "trailing dot https://dot.com/path. and comma https://c.om/p, done",
+    "no scheme www.nope.com ftp://also.no",
+    "uppercase HTTPS://UPPER.COM/X is not matched (case-exact scheme)",
+]
+
+
+def test_url_dialect_parity_spark_vs_duckdb(spark):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(HOSTILE_URLS)], "i long, text string"
+    )
+    got = {
+        (r["i"], r["pos"]): (r["url"], r["domain"])
+        for r in df.select(
+            "i", F.posexplode(extract_urls(F.col("text"))).alias("pos", "url")
+        ).select("i", "pos", "url", url_domain(F.col("url")).alias("domain")).collect()
+    }
+    con = duckdb.connect()
+    pat = URL_RE.replace("'", "''")
+    want = {}
+    for i, t in enumerate(HOSTILE_URLS):
+        urls = con.execute(
+            f"SELECT regexp_extract_all(?, '{pat}')", [t]
+        ).fetchone()[0]
+        for pos, u in enumerate(urls):
+            dom = con.execute(
+                "SELECT lower(regexp_extract(?, 'https?://([A-Za-z0-9.-]+)', 1))",
+                [u],
+            ).fetchone()[0]
+            want[(i, pos)] = (u, dom)
+    assert got == want
+    # sanity on semantics, not just parity
+    assert got[(1, 0)][1] == "example.com"
+    assert all(k[0] != 6 and k[0] != 7 for k in got), "scheme must be exact-case http(s)"
