@@ -249,6 +249,7 @@ def main() -> None:
         "quality_classifier",
         "doc_chunks",
         "url_domains",
+        "dup_spans",
     ]
 
     query_secs: dict[str, float] = {}

@@ -667,3 +667,51 @@ def remove_boilerplate_lines(
             .alias("n_lines_dropped"),
         )
     )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    n: int = 6,
+    min_df: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-substring duplication spans (the word-gram variant of Lee et
+    al. 2022's suffix-array dedup): every position whose n-gram occurs in
+    >= ``min_df`` DISTINCT documents is flagged, and adjacent flagged
+    positions merge into maximal spans via the gaps-and-islands window.
+    Returns (doc_id, span_start, span_end, n_dup_grams) — span bounds are
+    0-based word indices, inclusive.
+
+    100 TB plan: positional grams are map-only (zip_with chain, no HOF
+    capture re-evaluation); gram document-frequency is one shuffle with
+    map-side combine; the flag join shuffles on the gram key (AQE handles
+    the skewed hot grams); the island window is one shuffle on doc_id.
+    Nothing is quadratic — unlike a literal suffix array, which needs
+    corpus-order sorting of every suffix."""
+    from pyspark.sql.window import Window
+
+    from open_parse_spark.functions.text import word_ngrams_all
+
+    grams = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(word_ngrams_all(F.col(text_col), n)).alias("pos", "gram"),
+    )
+    dfreq = (
+        grams.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .where(F.col("df") >= min_df)
+        .select("gram")
+    )
+    dup = grams.join(dfreq, "gram").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    islands = dup.withColumn("isl", F.col("pos") - F.row_number().over(w))
+    return (
+        islands.groupBy("doc_id", "isl")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + (n - 1)).cast("long").alias("span_end"),
+            F.count(F.lit(1)).cast("long").alias("n_dup_grams"),
+        )
+        .select("doc_id", "span_start", "span_end", "n_dup_grams")
+    )

@@ -1149,6 +1149,38 @@ SQL_LANG_ID = (
 )
 
 
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication spans (word-gram suffix-dedup variant)."""
+    return D.duplicate_spans(_tbl(spark, sf_dir, "documents"), n=6, min_df=2)
+
+
+SQL_DUP_SPANS = """
+WITH w AS (
+  SELECT doc_id,
+         list_transform(regexp_extract_all(text, '[A-Za-z0-9]+'), x -> lower(x)) AS ws
+  FROM documents
+), g AS (
+  SELECT doc_id, unnest(generate_series(1, len(ws) - 5))::BIGINT AS i, ws
+  FROM w WHERE len(ws) >= 6
+), grams AS (
+  SELECT doc_id, i - 1 AS pos,
+         ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4]||' '||ws[i+5] AS gram
+  FROM g
+), flagged AS (
+  SELECT gram FROM grams GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+), dup AS (
+  SELECT doc_id, pos FROM grams WHERE gram IN (SELECT gram FROM flagged)
+), isl AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM dup
+)
+SELECT doc_id, min(pos)::BIGINT AS span_start, (max(pos) + 5)::BIGINT AS span_end,
+       count(*)::BIGINT AS n_dup_grams
+FROM isl GROUP BY doc_id, grp
+"""
+
+
 def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-window chunking (the op the reference's node pipeline feeds):
     window=24/overlap=8 so the sf corpus (10-99 words/doc) actually produces
@@ -2541,6 +2573,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "doc_chunks": (q_doc_chunks, SQL_DOC_CHUNKS),
+    "dup_spans": (q_dup_spans, SQL_DUP_SPANS),
     "url_domains": (q_url_domains, SQL_URL_DOMAINS),
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
     "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),

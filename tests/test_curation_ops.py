@@ -173,3 +173,27 @@ def test_pack_sequences_non_string_shard(spark):
         for r in pack_sequences(df, capacity=4, shard_col="bucket").collect()
     }
     assert out == {(1, "7"): 0, (2, "7"): 1, (3, "8"): 0}
+
+
+def test_duplicate_spans_crafted(spark):
+    # docs 1 and 2 share an 8-word run ("the quick ... lazy dog"); doc 3 is
+    # unrelated.  n=4, min_df=2: flagged positions merge into ONE maximal
+    # span per doc covering exactly the shared run.
+    from open_parse_spark.operators.dedup import duplicate_spans
+
+    shared = "the quick brown fox jumps over lazy dog"
+    rows = [
+        (1, f"intro words here {shared} tail one", "en", "s", 1),
+        (2, f"{shared} completely different ending text", "en", "s", 1),
+        (3, "nothing in common with anything else at all", "en", "s", 1),
+    ]
+    out = {
+        r["doc_id"]: (r["span_start"], r["span_end"], r["n_dup_grams"])
+        for r in duplicate_spans(_docs(spark, rows), n=4, min_df=2).collect()
+    }
+    # doc 1: shared run starts at word 3 (0-based), 8 words -> span [3, 10]
+    # flagged 4-gram starts: 3..7 -> 5 grams
+    assert out[1] == (3, 10, 5)
+    # doc 2: run starts at 0 -> span [0, 7]
+    assert out[2] == (0, 7, 5)
+    assert 3 not in out
