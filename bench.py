@@ -325,9 +325,11 @@ def main() -> None:
         _noop_write(q())
         query_secs[name] = round(time.monotonic() - t0, 3)
 
-    # streaming twin: the same parse as a Structured Streaming job over the
-    # bench corpus (4 micro-batches via maxFilesPerTrigger), noop sink —
-    # times the incremental-ingest shape the 10^12-turn corpus actually uses
+    # streaming twin: the same parse as a Structured Streaming job, noop
+    # sink — times the incremental-ingest shape.  maxFilesPerTrigger is at
+    # least the core count: the file source assigns whole files to tasks,
+    # so fewer files per trigger than cores idles the difference (measured
+    # 25.6s at 8-files/trigger vs ~10s full-width on 32 cores)
     import shutil as _shutil
     import tempfile
 
@@ -337,7 +339,9 @@ def main() -> None:
     try:
         t0 = time.monotonic()
         sq = (
-            streaming_parse(spark, bench_path, max_files_per_trigger=8)
+            streaming_parse(
+                spark, bench_path, max_files_per_trigger=max(8, cpus)
+            )
             .writeStream.format("noop")
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)

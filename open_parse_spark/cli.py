@@ -111,6 +111,32 @@ def main(argv=None) -> int:
     hp.add_argument("--html-col", default="html")
     hp.add_argument("--master", default=None)
 
+    chp = sub.add_parser(
+        "chunk", help="token-window chunking with overlap (embedding fan-out)"
+    )
+    chp.add_argument("--input", required=True, help="parquet with (doc_id, text)")
+    chp.add_argument("--output", required=True)
+    chp.add_argument("--window", type=int, default=128)
+    chp.add_argument("--overlap", type=int, default=32)
+    chp.add_argument("--master", default=None)
+
+    up = sub.add_parser(
+        "url-stats", help="per-domain URL counts over a documents table"
+    )
+    up.add_argument("--input", required=True, help="parquet with (doc_id, text)")
+    up.add_argument("--output", required=True)
+    up.add_argument("--master", default=None)
+
+    dsp = sub.add_parser(
+        "dup-spans",
+        help="exact-substring duplicate spans (word-gram suffix dedup)",
+    )
+    dsp.add_argument("--input", required=True, help="parquet with (doc_id, text)")
+    dsp.add_argument("--output", required=True)
+    dsp.add_argument("--ngram", type=int, default=6)
+    dsp.add_argument("--min-df", type=int, default=2)
+    dsp.add_argument("--master", default=None)
+
     args = p.parse_args(argv)
 
     from open_parse_spark.spark.session import get_spark
@@ -232,6 +258,39 @@ def main(argv=None) -> int:
         remove_boilerplate_lines(
             docs, min_df=args.min_df, min_chars=args.min_chars
         ).write.mode("overwrite").parquet(args.output)
+        return 0
+
+    if args.cmd == "chunk":
+        from open_parse_spark.operators.chunking import chunk_documents
+
+        docs = spark.read.parquet(args.input)
+        chunk_documents(
+            docs, window=args.window, overlap=args.overlap
+        ).write.mode("overwrite").parquet(args.output)
+        return 0
+
+    if args.cmd == "url-stats":
+        from pyspark.sql import functions as F
+
+        from open_parse_spark.functions.text import extract_urls, url_domain
+
+        docs = spark.read.parquet(args.input)
+        urls = docs.select(
+            "doc_id", F.explode(extract_urls(F.col("text"))).alias("url")
+        )
+        urls.groupBy(url_domain(F.col("url")).alias("domain")).agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        ).write.mode("overwrite").parquet(args.output)
+        return 0
+
+    if args.cmd == "dup-spans":
+        from open_parse_spark.operators.dedup import duplicate_spans
+
+        docs = spark.read.parquet(args.input)
+        duplicate_spans(docs, n=args.ngram, min_df=args.min_df).write.mode(
+            "overwrite"
+        ).parquet(args.output)
         return 0
 
     if args.cmd == "html-extract":

