@@ -69,7 +69,9 @@ def bpe_token_count(ranks: Dict[bytes, int], piece: bytes) -> int:
     output is needed.)  Bytes absent from the vocabulary stay unmerged and
     count 1 each — with a complete 256-byte base vocab (cl100k has one)
     this never happens."""
-    if piece in ranks or len(piece) <= 1:
+    if not piece:
+        return 0  # defensive: the split pattern can't yield empty matches
+    if piece in ranks or len(piece) == 1:
         return 1
     parts: List[bytes] = [piece[i : i + 1] for i in range(len(piece))]
     while len(parts) > 1:
