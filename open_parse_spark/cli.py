@@ -270,18 +270,10 @@ def main(argv=None) -> int:
         return 0
 
     if args.cmd == "url-stats":
-        from pyspark.sql import functions as F
-
-        from open_parse_spark.functions.text import extract_urls, url_domain
+        from open_parse_spark.functions.text import url_domain_stats
 
         docs = spark.read.parquet(args.input)
-        urls = docs.select(
-            "doc_id", F.explode(extract_urls(F.col("text"))).alias("url")
-        )
-        urls.groupBy(url_domain(F.col("url")).alias("domain")).agg(
-            F.count(F.lit(1)).alias("n_urls"),
-            F.countDistinct("doc_id").alias("n_docs"),
-        ).write.mode("overwrite").parquet(args.output)
+        url_domain_stats(docs).write.mode("overwrite").parquet(args.output)
         return 0
 
     if args.cmd == "dup-spans":

@@ -35,12 +35,22 @@ except Exception:  # pragma: no cover
 
 # middle preference tier: the vendored BPE engine (core/bpe.py) — exact
 # cl100k counts when a vocabulary file is dropped at $OPEN_PARSE_BPE_PATH
-# (or open_parse_spark/data/bpe/), no tiktoken install needed
+# (or open_parse_spark/data/bpe/), no tiktoken install needed.  Resolved
+# LAZILY on the first count: parsing a ~100k-line vocab at module import
+# would tax every process that imports the package, including CLI commands
+# that never count a token (review finding).
 _BPE = None
-if _ENCODER is None:
-    from open_parse_spark.core import bpe as _bpe_mod
+_BPE_RESOLVED = _ENCODER is not None  # tiktoken present: BPE tier never used
 
-    _BPE = _bpe_mod.load_default()
+
+def _get_bpe():
+    global _BPE, _BPE_RESOLVED
+    if not _BPE_RESOLVED:
+        from open_parse_spark.core import bpe as _bpe_mod
+
+        _BPE = _bpe_mod.load_default()
+        _BPE_RESOLVED = True
+    return _BPE
 
 # cl100k_base-style pre-tokenizer where EVERY match counts as exactly one
 # token (letter runs are chunked to <=4 chars by the regex engine itself, so
@@ -79,8 +89,9 @@ def _num_tokens_cached(string: str) -> int:
         # tokens like '<|endoftext|>' (common in scraped ML content), and
         # the batch path already uses the ordinary variant
         return len(_ENCODER.encode_ordinary(string))
-    if _BPE is not None:
-        return _BPE.count(string)
+    bpe = _get_bpe()
+    if bpe is not None:
+        return bpe.count(string)
     return _subn("", string)[1]
 
 
@@ -95,8 +106,9 @@ def num_tokens(string: Optional[str]) -> int:
     if len(string) > _CACHE_MAX_LEN:
         if _ENCODER is not None:  # pragma: no cover
             return len(_ENCODER.encode_ordinary(string))
-        if _BPE is not None:
-            return _BPE.count(string)
+        bpe = _get_bpe()
+        if bpe is not None:
+            return bpe.count(string)
         return _subn("", string)[1]
     return _num_tokens_cached(string)
 

@@ -11,7 +11,7 @@ regex and RE2 so both engines tokenize identically.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 # Dialect-safe regex subset (verified cross-engine in
 # tests/test_dialect_parity.py): explicit ASCII classes only.  Shorthands
@@ -129,6 +129,15 @@ def scrub_pii(col: Column) -> Column:
     return F.regexp_replace(out, IPV4_RE, "<IP>")
 
 
+def md5_long(col: Column) -> Column:
+    """The oracle-reproducible 60-bit hash: first 15 hex chars of md5 parsed
+    as a long — DuckDB twin ``('0x'||substr(md5(x),1,15))::BIGINT``, verified
+    bit-exact.  THE single definition (review finding: four copies had
+    grown); every md5-keyed op (hash_bucket, quality classifier, minhash md5
+    hasher, quantized-IVF init) routes through here."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
 def hash_bucket(col: Column, buckets: int = 100) -> Column:
     """Deterministic [0, buckets) bucket from md5 of the column's string form.
 
@@ -136,10 +145,7 @@ def hash_bucket(col: Column, buckets: int = 100) -> Column:
     stable across runs/engines/cluster sizes (unlike ``rand()`` or
     ``monotonically_increasing_id``), and exactly reproducible in ANSI SQL
     via ``('0x'||substr(md5(x),1,15))::BIGINT % buckets``."""
-    return (
-        F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast("long")
-        % buckets
-    )
+    return md5_long(col.cast("string")) % buckets
 
 
 def lang_scores(col: Column) -> list:
@@ -198,11 +204,7 @@ def linear_quality_score(
         ws,
         lambda t: F.element_at(
             warr,
-            (
-                F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
-                % buckets
-                + 1
-            ).cast("int"),
+            (md5_long(t) % buckets + 1).cast("int"),
         ),
     )
     return F.coalesce(
@@ -218,15 +220,36 @@ def linear_quality_score(
 # char is literal inside a class in both Java regex and RE2), and domains
 # are extract-then-lower per the dialect rules (tests/test_dialect_parity
 # conventions).
-URL_RE = r"https?://[A-Za-z0-9._~:/?#@!$&'()*+,;=%-]+"
-_DOMAIN_RE = r"https?://([A-Za-z0-9.-]+)"
+# the URL must END on a "safe" character: without the final class, sentence
+# punctuation glues on ('https://a.com.' / 'https://a.com,') and a trailing
+# dot then leaks into the domain, splitting per-domain counts (review
+# finding).  Both engines agree on the bug AND the fix, so only crafted
+# tests — not the corpus oracle — can catch this class.
+URL_RE = r"https?://[A-Za-z0-9._~:/?#@!$&'()*+,;=%-]*[A-Za-z0-9_~/#=&%-]"
+# domain = dot-separated runs with no leading/trailing dot
+_DOMAIN_RE = r"https?://([A-Za-z0-9-]+(?:\.[A-Za-z0-9-]+)*)"
 
 
 def extract_urls(col: Column) -> Column:
-    """All http(s) URLs in a text column, in order (array<string>)."""
+    """All http(s) URLs in a text column, in order (array<string>);
+    trailing sentence punctuation (. , ; : ! ? ') is not part of the URL."""
     return F.regexp_extract_all(col, F.lit(URL_RE), 0)
 
 
 def url_domain(col: Column) -> Column:
     """Lower-cased authority (host) of a single URL string; '' if none."""
     return F.lower(F.regexp_extract(col, _DOMAIN_RE, 1))
+
+
+def url_domain_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-domain URL stats (n_urls, n_docs) — THE shared body for the
+    registry query and the CLI, so a pattern fix lands everywhere at once
+    (review finding: the two had drifted into copies)."""
+    urls = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(extract_urls(F.col(text_col))).alias("url"),
+    )
+    return urls.groupBy(url_domain(F.col("url")).alias("domain")).agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )

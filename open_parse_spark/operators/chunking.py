@@ -31,6 +31,15 @@ def chunk_documents(
     words produce zero chunks.  Returns
     (doc_id, chunk_idx, n_words, chunk_text).
 
+    ``chunk_text`` is rebuilt from the NORMALIZED word stream (the shared
+    ``words()`` tokenization: lowercased ``[A-Za-z0-9]+`` runs) — case,
+    punctuation and whitespace structure are not preserved.  That is
+    deliberate: it is the normalization most embedding front-ends apply
+    anyway, and it keeps every value cross-engine checkable.  A consumer
+    needing retrievable source passages should carry ``(doc_id, chunk_idx,
+    span)`` back to the source text instead of using ``chunk_text`` as the
+    display form.
+
     Chunk starts walk at ``stride = window - overlap``:
     ``n_chunks = ceil((n - overlap) / stride)`` for ``n > overlap`` else 1 —
     every word lands in at least one chunk and consecutive chunks share

@@ -128,7 +128,9 @@ def _hash_long(col, hasher: str):
     equivalent.  Both are pure codegen expressions."""
     if hasher == "xxhash64":
         return F.xxhash64(col)
-    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+    from open_parse_spark.functions.text import md5_long
+
+    return md5_long(col)
 
 
 # Carter-Wegman parameters for the md5 path's seeded hash family:
@@ -678,8 +680,9 @@ def duplicate_spans(
 ) -> DataFrame:
     """Exact-substring duplication spans (the word-gram variant of Lee et
     al. 2022's suffix-array dedup): every position whose n-gram occurs in
-    >= ``min_df`` DISTINCT documents is flagged, and adjacent flagged
-    positions merge into maximal spans via the gaps-and-islands window.
+    >= ``min_df`` DISTINCT documents is flagged, and flagged positions
+    whose word ranges overlap merge into maximal non-overlapping spans via
+    a gaps-and-islands window (gap > n-1 starts a new span).
     Returns (doc_id, span_start, span_end, n_dup_grams) — span bounds are
     0-based word indices, inclusive.
 
@@ -708,8 +711,24 @@ def duplicate_spans(
         .select("gram")
     )
     dup = grams.join(dfreq, "gram").select("doc_id", "pos")
+    # islands merge whenever the WORD RANGES [pos, pos+n-1] overlap, not
+    # only when positions are adjacent: flagged positions p and p+2 with an
+    # unflagged p+1 still describe one duplicated region, and the naive
+    # pos - row_number() islanding emitted two OVERLAPPING spans — a
+    # consumer summing span widths then double-counts words (review
+    # finding).  A new island starts when the gap from the previous flagged
+    # position exceeds n-1 (first row: NULL condition -> otherwise -> 1).
     w = Window.partitionBy("doc_id").orderBy("pos")
-    islands = dup.withColumn("isl", F.col("pos") - F.row_number().over(w))
+    new_island = (
+        F.when(F.col("pos") - F.lag("pos").over(w) <= n - 1, F.lit(0))
+        .otherwise(F.lit(1))
+    )
+    islands = dup.withColumn(
+        "isl",
+        F.sum(new_island).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
     return (
         islands.groupBy("doc_id", "isl")
         .agg(

@@ -265,12 +265,11 @@ def quantize_vec(col: Column, scale: int = QUANT_SCALE) -> Column:
 
 
 def _md5_long(col: Column) -> Column:
-    """The oracle-reproducible 60-bit hash (DuckDB:
-    ``('0x'||substr(md5(x),1,15))::BIGINT``), same trick as the md5 minhash
-    variant — xxhash64 has no DuckDB twin."""
-    return F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast(
-        "long"
-    )
+    """Oracle-reproducible 60-bit hash of the column's string form (shared
+    definition: functions/text.md5_long)."""
+    from open_parse_spark.functions.text import md5_long
+
+    return md5_long(col.cast("string"))
 
 
 def int_sqdist(a: Column, b: Column) -> Column:

@@ -1170,10 +1170,15 @@ WITH w AS (
   SELECT gram FROM grams GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
 ), dup AS (
   SELECT doc_id, pos FROM grams WHERE gram IN (SELECT gram FROM flagged)
+), lagged AS (
+  SELECT doc_id, pos,
+         lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS lag_pos
+  FROM dup
 ), isl AS (
   SELECT doc_id, pos,
-         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
-  FROM dup
+         sum(CASE WHEN pos - lag_pos <= 5 THEN 0 ELSE 1 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM lagged
 )
 SELECT doc_id, min(pos)::BIGINT AS span_start, (max(pos) + 5)::BIGINT AS span_end,
        count(*)::BIGINT AS n_dup_grams
@@ -1230,13 +1235,7 @@ def q_url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(".org/x?q=1&r=2 end"),
         ).alias("text"),
     )
-    urls = injected.select(
-        "doc_id", F.explode(T.extract_urls(F.col("text"))).alias("url")
-    )
-    return urls.groupBy(T.url_domain(F.col("url")).alias("domain")).agg(
-        F.count(F.lit(1)).alias("n_urls"),
-        F.countDistinct("doc_id").alias("n_docs"),
-    )
+    return T.url_domain_stats(injected)
 
 
 SQL_URL_DOMAINS = """
@@ -1249,10 +1248,10 @@ WITH t AS (
 ), u AS (
   SELECT doc_id,
          unnest(regexp_extract_all(text,
-           'https?://[A-Za-z0-9._~:/?#@!$&''()*+,;=%-]+')) AS url
+           'https?://[A-Za-z0-9._~:/?#@!$&''()*+,;=%-]*[A-Za-z0-9_~/#=&%-]')) AS url
   FROM t
 )
-SELECT lower(regexp_extract(url, 'https?://([A-Za-z0-9.-]+)', 1)) AS domain,
+SELECT lower(regexp_extract(url, 'https?://([A-Za-z0-9-]+(\.[A-Za-z0-9-]+)*)', 1)) AS domain,
        count(*)::BIGINT AS n_urls,
        count(DISTINCT doc_id)::BIGINT AS n_docs
 FROM u GROUP BY 1

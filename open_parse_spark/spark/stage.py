@@ -18,6 +18,10 @@ Resolution order for :func:`stage`:
 - ``spark.open_parse.stage=auto`` (default) -> ``localCheckpoint`` on
   ``local[*]`` masters; on cluster masters a reliable checkpoint when a
   checkpoint dir is set, else ``localCheckpoint`` with a one-time warning.
+
+Spark Connect sessions have no driver-side ``SparkContext``; there the
+local/auto paths still work (``localCheckpoint`` is supported over Connect
+since 4.0) and only ``reliable`` raises, pointing at the server-side config.
 """
 
 from __future__ import annotations
@@ -29,28 +33,35 @@ from pyspark.sql import DataFrame
 _warned = False
 
 
-def _master(spark) -> str:
-    try:
-        return spark.conf.get("spark.master")
-    except Exception:
-        return "local"
-
-
 def stage(df: DataFrame, eager: bool = True) -> DataFrame:
     """Cut ``df``'s lineage; see module docstring for mode resolution."""
     global _warned
     spark = df.sparkSession
     mode = spark.conf.get("spark.open_parse.stage", "auto")
-    is_local = _master(spark).startswith("local")
-    has_dir = spark.sparkContext._jsc.sc().getCheckpointDir().isDefined()
-    if mode == "local" or (mode == "auto" and is_local):
+    if mode == "local":
         return df.localCheckpoint(eager=eager)
-    if mode == "reliable" or has_dir:
-        if not has_dir:
+    try:
+        sc = spark.sparkContext
+        master = spark.conf.get("spark.master")
+    except Exception:
+        # Spark Connect: no SparkContext client-side.  localCheckpoint works
+        # there; only the reliable path needs the driver JVM handle.
+        if mode == "reliable":
             raise RuntimeError(
-                "spark.open_parse.stage=reliable requires "
-                "spark.sparkContext.setCheckpointDir(...)"
+                "spark.open_parse.stage=reliable needs a driver-side "
+                "SparkContext (set the checkpoint dir on the Connect "
+                "server and run the job there, or use mode=local)"
             )
+        return df.localCheckpoint(eager=eager)
+    if mode == "auto" and master.startswith("local"):
+        return df.localCheckpoint(eager=eager)
+    has_dir = sc.getCheckpointDir() is not None
+    if mode == "reliable" and not has_dir:
+        raise RuntimeError(
+            "spark.open_parse.stage=reliable requires "
+            "spark.sparkContext.setCheckpointDir(...)"
+        )
+    if has_dir:
         return df.checkpoint(eager=eager)
     if not _warned:
         warnings.warn(

@@ -176,12 +176,14 @@ def test_tokens_module_prefers_vendored_vocab(tmp_path, monkeypatch):
     monkeypatch.setenv(bpe_mod.ENV_VAR, p)
     try:
         importlib.reload(tokens_mod)
-        assert tokens_mod._BPE is not None
+        # lazy: the vocab is parsed on the FIRST count, not at import
+        assert tokens_mod._BPE is None and not tokens_mod._BPE_RESOLVED
         # 'aaaaaaaa' is one vocab token under BPE; the approximation says 2
         assert tokens_mod.num_tokens("aaaaaaaa") == 1
+        assert tokens_mod._BPE is not None
         assert tokens_mod.num_tokens_batch(["aaaa", None]) == [1, 0]
     finally:
         monkeypatch.delenv(bpe_mod.ENV_VAR)
         importlib.reload(tokens_mod)
-        assert tokens_mod._BPE is None
         assert tokens_mod.num_tokens("aaaaaaaa") == 2
+        assert tokens_mod._BPE is None

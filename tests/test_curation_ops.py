@@ -197,3 +197,34 @@ def test_duplicate_spans_crafted(spark):
     # doc 2: run starts at 0 -> span [0, 7]
     assert out[2] == (0, 7, 5)
     assert 3 not in out
+
+
+def test_duplicate_spans_merge_overlapping_ranges(spark):
+    # flagged positions p and p+2 (unflagged p+1 between them) have
+    # overlapping word ranges and must merge into ONE span — the naive
+    # adjacency islanding emitted two overlapping spans (review finding)
+    from open_parse_spark.operators.dedup import duplicate_spans
+
+    # doc 1 & 2 share gram at pos 0 ("a b c d") and pos 2 ("c d e x") but
+    # doc 2's pos-1 gram differs (doc1 "b c d e" vs doc2 "b c d q")... build
+    # via explicit word lists:
+    d1 = "a b c d e x tail1 tail2"
+    d2 = "a b c d zz a b q q c d e x q q"  # shares "a b c d" and "c d e x"
+    rows = [(1, d1, "en", "s", 1), (2, d2, "en", "s", 1)]
+    out = duplicate_spans(_docs(spark, rows), n=4, min_df=2).collect()
+    spans1 = sorted(
+        (r["span_start"], r["span_end"], r["n_dup_grams"])
+        for r in out
+        if r["doc_id"] == 1
+    )
+    # doc 1: flagged at pos 0 ("a b c d") and pos 2 ("c d e x"); pos 1
+    # ("b c d e") appears only in doc 1 -> unflagged.  gap 2 <= n-1 -> ONE
+    # merged span [0, 5] with 2 flagged grams.
+    assert spans1 == [(0, 5, 2)], out
+    # no overlapping spans anywhere
+    for doc in (1, 2):
+        ss = sorted(
+            (r["span_start"], r["span_end"]) for r in out if r["doc_id"] == doc
+        )
+        for (s1, e1), (s2, e2) in zip(ss, ss[1:]):
+            assert s2 > e1, f"overlapping spans for doc {doc}: {ss}"
