@@ -250,6 +250,7 @@ def main() -> None:
         "doc_chunks",
         "url_domains",
         "dup_spans",
+        "rag_index",
     ]
 
     query_secs: dict[str, float] = {}

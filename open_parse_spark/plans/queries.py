@@ -1214,6 +1214,97 @@ FROM idx
 """
 
 
+def q_rag_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed RAG-indexing pipeline, value-checked END TO END: chunk the
+    corpus (token windows), embed each chunk (signed md5-bucket bag of
+    words — the deploy shape of a hashing embedder), and LSH-bucket the
+    embedding for ANN serving.  Everything is integer arithmetic: the word
+    sign is a hash bit, the hyperplanes are the literal `plane_values`
+    scaled to integers (x1000), so the dot products are exact int64 sums —
+    no float-order caveat anywhere, and DuckDB replays the whole chain.
+
+    At 100 TB this is the index-build job: chunk (map) -> explode words
+    (map) -> one groupBy (doc_id, chunk_idx) with 4 integer sums ->
+    write, partitioned by bucket.  One shuffle total."""
+    from open_parse_spark.operators.chunking import chunk_documents
+
+    n_planes, dim = 4, 64
+    chunks = chunk_documents(_tbl(spark, sf_dir, "documents"), window=24, overlap=8)
+    words_ex = chunks.select(
+        "doc_id",
+        "chunk_idx",
+        "n_words",
+        F.explode(F.split(F.col("chunk_text"), " ")).alias("word"),
+    ).withColumn("h", T.md5_long(F.col("word")))
+    # per-word contribution to plane p's dot product:
+    #   sign(word) * plane_int_p[bucket(word)]
+    # sign bit via shiftright, NOT h/64: float division of a 60-bit hash
+    # loses integer precision above 2^53 and the parity bit would diverge
+    # from DuckDB's exact `h // 64`
+    sign = (F.shiftright(F.col("h"), 6) % 2) * 2 - 1
+    bucket_idx = (F.col("h") % dim + 1).cast("int")
+    aggs = []
+    for p in range(n_planes):
+        plane_int = [int(round(v * 1000)) for v in S.plane_values(p, dim)]
+        contrib = sign * F.element_at(
+            F.array(*[F.lit(v).cast("long") for v in plane_int]), bucket_idx
+        )
+        aggs.append(F.sum(contrib).alias(f"dot{p}"))
+    dots = words_ex.groupBy("doc_id", "chunk_idx", "n_words").agg(*aggs)
+    bucket = F.lit(0).cast("long")
+    for p in range(n_planes):  # MSB first, like lsh_bucket
+        bucket = bucket * 2 + F.when(F.col(f"dot{p}") >= 0, 1).otherwise(0)
+    return dots.select(
+        "doc_id", "chunk_idx", "n_words", bucket.alias("bucket")
+    )
+
+
+def _rag_plane_sql(p: int, dim: int = 64) -> str:
+    vals = ", ".join(
+        str(int(round(v * 1000))) for v in S.plane_values(p, dim)
+    )
+    return f"[{vals}]"
+
+
+SQL_RAG_INDEX = f"""
+WITH w AS (
+  SELECT doc_id,
+         list_transform(regexp_extract_all(text, '[A-Za-z0-9]+'), x -> lower(x)) AS ws
+  FROM documents
+), sized AS (
+  SELECT doc_id, ws, len(ws) AS n,
+         CASE WHEN len(ws) > 8 THEN (len(ws) - 8 + 15) // 16 ELSE 1 END AS n_chunks
+  FROM w WHERE len(ws) > 0
+), idx AS (
+  SELECT doc_id, ws, unnest(range(0, n_chunks))::BIGINT AS chunk_idx FROM sized
+), chunks AS (
+  SELECT doc_id, chunk_idx,
+         len(list_slice(ws, chunk_idx*16 + 1, chunk_idx*16 + 24))::BIGINT AS n_words,
+         list_slice(ws, chunk_idx*16 + 1, chunk_idx*16 + 24) AS cws
+  FROM idx
+), cw AS (
+  SELECT doc_id, chunk_idx, n_words, unnest(cws) AS word FROM chunks
+), wh AS (
+  SELECT doc_id, chunk_idx, n_words,
+         ('0x'||substr(md5(word),1,15))::BIGINT AS h
+  FROM cw
+), dots AS (
+  SELECT doc_id, chunk_idx, n_words,
+         {", ".join(
+             f"sum(((h // 64) % 2 * 2 - 1) * ({_rag_plane_sql(p)})[(h % 64 + 1)::INT]) AS dot{p}"
+             for p in range(4)
+         )}
+  FROM wh GROUP BY doc_id, chunk_idx, n_words
+)
+SELECT doc_id, chunk_idx, n_words,
+       ((CASE WHEN dot0 >= 0 THEN 8 ELSE 0 END) +
+        (CASE WHEN dot1 >= 0 THEN 4 ELSE 0 END) +
+        (CASE WHEN dot2 >= 0 THEN 2 ELSE 0 END) +
+        (CASE WHEN dot3 >= 0 THEN 1 ELSE 0 END))::BIGINT AS bucket
+FROM dots
+"""
+
+
 def q_url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain URL stats — the crawl-side bookkeeping every web-scale
     pipeline needs (blocklists, per-domain quotas).  The synthetic corpus
@@ -2573,6 +2664,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "doc_chunks": (q_doc_chunks, SQL_DOC_CHUNKS),
     "dup_spans": (q_dup_spans, SQL_DUP_SPANS),
+    "rag_index": (q_rag_index, SQL_RAG_INDEX),
     "url_domains": (q_url_domains, SQL_URL_DOMAINS),
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
     "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),

@@ -85,8 +85,11 @@ def test_url_dialect_parity_spark_vs_duckdb(spark):
             "i", F.posexplode(extract_urls(F.col("text"))).alias("pos", "url")
         ).select("i", "pos", "url", url_domain(F.col("url")).alias("domain")).collect()
     }
+    from open_parse_spark.functions.text import _DOMAIN_RE
+
     con = duckdb.connect()
     pat = URL_RE.replace("'", "''")
+    dom_pat = _DOMAIN_RE.replace("\\", "\\")  # same pattern, both engines
     want = {}
     for i, t in enumerate(HOSTILE_URLS):
         urls = con.execute(
@@ -94,7 +97,7 @@ def test_url_dialect_parity_spark_vs_duckdb(spark):
         ).fetchone()[0]
         for pos, u in enumerate(urls):
             dom = con.execute(
-                "SELECT lower(regexp_extract(?, 'https?://([A-Za-z0-9.-]+)', 1))",
+                f"SELECT lower(regexp_extract(?, '{dom_pat}', 1))",
                 [u],
             ).fetchone()[0]
             want[(i, pos)] = (u, dom)
@@ -102,3 +105,23 @@ def test_url_dialect_parity_spark_vs_duckdb(spark):
     # sanity on semantics, not just parity
     assert got[(1, 0)][1] == "example.com"
     assert all(k[0] != 6 and k[0] != 7 for k in got), "scheme must be exact-case http(s)"
+
+
+def test_rag_index_composition(spark):
+    """Composed chunk->embed->LSH-bucket query: one row per chunk, buckets
+    in [0, 16), exact integer arithmetic => partitioning-invariant."""
+    from open_parse_spark.plans.queries import q_doc_chunks, q_rag_index
+
+    sf = "/root/testdata/sf0.001"
+    out = q_rag_index(spark, sf).collect()
+    n_chunks = q_doc_chunks(spark, sf).count()
+    assert len(out) == n_chunks
+    assert all(0 <= r["bucket"] < 16 for r in out)
+    # buckets spread (not degenerate): more than 4 distinct values in use
+    assert len({r["bucket"] for r in out}) > 4
+    again = {(r["doc_id"], r["chunk_idx"]): r["bucket"] for r in out}
+    rerun = {
+        (r["doc_id"], r["chunk_idx"]): r["bucket"]
+        for r in q_rag_index(spark, sf).collect()
+    }
+    assert again == rerun
