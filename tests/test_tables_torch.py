@@ -163,3 +163,122 @@ def test_crop_padding_validation_matches_reference():
         crop_img_with_padding(None, (0, 0, 1, 1), padding_pct=-0.1)
     with pytest.raises(ValueError, match="less than 1"):
         crop_img_with_padding(None, (0, 0, 1, 1), padding_pct=1.0)
+
+
+def test_torch_detector_driver_with_injected_modules(monkeypatch):
+    """Drive the REAL TorchTableDetector methods (preprocess -> forward ->
+    decode) by injecting minimal fake torch/transformers/PIL modules — the
+    only sandbox-side way to execute the guarded driver code itself rather
+    than just its numpy adapter."""
+    import sys
+    import types
+
+    import numpy as np
+
+    class FakeTensor:
+        def __init__(self, arr):
+            self.arr = np.asarray(arr)
+
+        def unsqueeze(self, axis):
+            return FakeTensor(np.expand_dims(self.arr, axis))
+
+        def to(self, device):
+            return self
+
+    class FakeOutput:
+        def __init__(self, logits, boxes):
+            self._d = {"pred_boxes": _FakeResult(boxes)}
+            self.logits = _FakeResult(logits)
+
+        def __getitem__(self, k):
+            return self._d[k]
+
+    class _FakeResult:
+        def __init__(self, arr):
+            self.arr = np.asarray(arr, dtype=np.float64)
+
+        def detach(self):
+            return self
+
+        def cpu(self):
+            return self
+
+        def numpy(self):
+            return self.arr
+
+    det_logits = [[
+        [9.0, 0.0, 0.0],   # table, high conf
+        [0.0, 0.0, 9.0],   # no object
+    ]]
+    det_boxes = [[[0.5, 0.5, 0.5, 0.5], [0.1, 0.1, 0.1, 0.1]]]
+
+    class FakeModel:
+        def __init__(self, id2label):
+            self.config = types.SimpleNamespace(id2label=id2label)
+
+        def to(self, device):
+            return self
+
+        def eval(self):
+            return self
+
+        def __call__(self, pixel_values):
+            assert pixel_values.arr.shape[0] == 1  # batch dim present
+            assert pixel_values.arr.shape[1] == 3  # CHW
+            return FakeOutput(det_logits, det_boxes)
+
+    fake_torch = types.ModuleType("torch")
+    fake_torch.from_numpy = lambda a: FakeTensor(a)
+    fake_torch.no_grad = lambda: __import__("contextlib").nullcontext()
+    fake_torch.cuda = types.SimpleNamespace(is_available=lambda: False)
+
+    fake_tf = types.ModuleType("transformers")
+    fake_tf.AutoModelForObjectDetection = types.SimpleNamespace(
+        from_pretrained=lambda name, revision: FakeModel({0: "table", 1: "table rotated"})
+    )
+    fake_tf.TableTransformerForObjectDetection = types.SimpleNamespace(
+        from_pretrained=lambda name, revision: FakeModel(
+            {i: lbl for i, lbl in enumerate([
+                "table", "table column", "table row", "table column header",
+                "table projected row header", "table spanning cell"])}
+        )
+    )
+
+    class FakeImage:
+        size = (100, 200)
+        width, height = 100, 200
+
+        def convert(self, mode):
+            return self
+
+        def resize(self, size):
+            out = FakeImage()
+            out.size = size
+            return out
+
+        def __array__(self, dtype=None, copy=None):
+            w, h = self.size
+            return np.zeros((h, w, 3), dtype=dtype or np.uint8)
+
+    fake_pil = types.ModuleType("PIL")
+    fake_pil_image = types.ModuleType("PIL.Image")
+    fake_pil.Image = fake_pil_image
+
+    import open_parse_spark.operators.tables_torch as tt
+
+    monkeypatch.setitem(sys.modules, "torch", fake_torch)
+    monkeypatch.setitem(sys.modules, "transformers", fake_tf)
+    monkeypatch.setitem(sys.modules, "PIL", fake_pil)
+    monkeypatch.setitem(sys.modules, "PIL.Image", fake_pil_image)
+    monkeypatch.setattr(tt, "_MODELS", {})
+
+    assert tt.torch_available()
+    det = tt.TorchTableDetector()
+    tables = det.find_table_bboxes(FakeImage())
+    assert len(tables) == 1 and tables[0].label == "table"
+    # cxcywh (0.5,0.5,0.5,0.5) at (100,200) -> (25, 50, 75, 150)
+    np.testing.assert_allclose(tables[0].bbox, (25.0, 50.0, 75.0, 150.0))
+    # models loaded once per process (executor singleton)
+    first = tt._MODELS["detection"]
+    det.find_table_bboxes(FakeImage())
+    assert tt._MODELS["detection"] is first
