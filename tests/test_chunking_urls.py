@@ -125,3 +125,49 @@ def test_rag_index_composition(spark):
         for r in q_rag_index(spark, sf).collect()
     }
     assert again == rerun
+
+
+def test_chunking_hypothesis_vs_python_reference(spark):
+    """Property: for random word counts and (window, overlap) configs, the
+    Spark chunking equals a direct python replay of the contract, and the
+    coverage/overlap invariants hold."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from open_parse_spark.operators.chunking import chunk_documents
+
+    def python_chunks(n, window, overlap):
+        stride = window - overlap
+        if n == 0:
+            return []
+        n_chunks = 1 if n <= overlap else -(-(n - overlap) // stride)
+        out = []
+        for i in range(n_chunks):
+            ws = list(range(n))[i * stride : i * stride + window]
+            out.append((i, len(ws), ws))
+        return out
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        n=st.integers(min_value=0, max_value=60),
+        window=st.integers(min_value=2, max_value=20),
+        overlap_frac=st.floats(min_value=0.0, max_value=0.9),
+    )
+    def check(n, window, overlap_frac):
+        overlap = int(window * overlap_frac)
+        text = " ".join(f"w{i}" for i in range(n))
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        got = sorted(
+            (r["chunk_idx"], r["n_words"], r["chunk_text"].split(" "))
+            for r in chunk_documents(df, window=window, overlap=overlap).collect()
+        )
+        want = [
+            (i, nw, [f"w{j}" for j in ws])
+            for i, nw, ws in python_chunks(n, window, overlap)
+        ]
+        assert got == want, (n, window, overlap, got, want)
+        # coverage: every word index appears in at least one chunk
+        covered = {w for _, _, ws in got for w in ws}
+        assert covered == {f"w{i}" for i in range(n)}
+
+    check()
