@@ -311,3 +311,45 @@ def run_stream_to_memory(
         .trigger(availableNow=True)
         .start()
     )
+
+
+DOCUMENT_DDL = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+def streaming_chunk(
+    spark: SparkSession,
+    input_dir: str,
+    window: int = 128,
+    overlap: int = 32,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming twin of ``chunk_documents``: the batch operator is a pure
+    stateless projection (split -> sequence/explode -> slice), so it is
+    applied to the stream UNCHANGED — one code path, the same guarantee the
+    parse twin relies on.  Append-mode legal, no watermark needed."""
+    from open_parse_spark.operators.chunking import chunk_documents
+
+    reader = spark.readStream.schema(DOCUMENT_DDL)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return chunk_documents(reader.parquet(input_dir), window=window, overlap=overlap)
+
+
+def streaming_extract_urls(
+    spark: SparkSession,
+    input_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming twin of the URL extraction half of ``url_domain_stats``:
+    per-document (doc_id, url, domain) rows, stateless append.  The
+    per-domain AGGREGATION stays batch (or becomes a watermarked windowed
+    agg downstream) — an unbounded global groupBy is not streaming-legal."""
+    from open_parse_spark.functions.text import extract_urls, url_domain
+
+    reader = spark.readStream.schema(DOCUMENT_DDL)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    docs = reader.parquet(input_dir)
+    return docs.select(
+        "doc_id", F.explode(extract_urls(F.col("text"))).alias("url")
+    ).select("doc_id", "url", url_domain(F.col("url")).alias("domain"))

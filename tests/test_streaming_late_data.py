@@ -200,3 +200,61 @@ def test_dedup_within_watermark_dupes_collapse(spark, tmp_path):
     # all duplicates are within the 1h watermark -> exactly one row per text
     assert len(got) == len(texts), got.sort_values("text_hash")
     assert got["text_hash"].nunique() == len(texts)
+
+
+def test_streaming_chunk_and_urls_match_batch(spark, tmp_path):
+    """Stateless round-3 twins: streaming output == batch operator output on
+    the same rows (one shared code path; this pins the stream legality)."""
+    import duckdb
+
+    from open_parse_spark.functions.text import url_domain_stats
+    from open_parse_spark.operators.chunking import chunk_documents
+    from open_parse_spark.streaming.jobs import (
+        run_stream_to_memory,
+        streaming_chunk,
+        streaming_extract_urls,
+    )
+
+    d = tmp_path / "docs"
+    d.mkdir()
+    con = duckdb.connect()
+    for f in range(2):
+        con.execute(
+            f"""COPY (SELECT i AS doc_id,
+                 'doc ' || i::VARCHAR || ' see https://s' || (i % 3)::VARCHAR ||
+                 '.com/p' || i::VARCHAR || ' ' || repeat('tok ', i % 25) AS text,
+                 'en' AS lang, 'src' AS source, 1::BIGINT AS n_chars
+               FROM generate_series({f * 20}, {f * 20 + 19}) t(i))
+               TO '{d / f"f{f}.parquet"}' (FORMAT PARQUET)"""
+        )
+
+    q = run_stream_to_memory(
+        streaming_chunk(spark, str(d), window=8, overlap=2, max_files_per_trigger=1),
+        "chunk_stream",
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["doc_id"], r["chunk_idx"]): r["chunk_text"]
+        for r in spark.table("chunk_stream").collect()
+    }
+    batch_df = spark.read.parquet(str(d))
+    want = {
+        (r["doc_id"], r["chunk_idx"]): r["chunk_text"]
+        for r in chunk_documents(batch_df, window=8, overlap=2).collect()
+    }
+    assert got == want and len(got) > 40
+
+    q2 = run_stream_to_memory(
+        streaming_extract_urls(spark, str(d), max_files_per_trigger=1), "url_stream"
+    )
+    q2.awaitTermination(120)
+    rows = spark.table("url_stream").collect()
+    assert len(rows) == 40 and all(r["domain"].startswith("s") for r in rows)
+    # stream rows aggregate to exactly the batch domain stats
+    import collections
+
+    agg = collections.Counter(r["domain"] for r in rows)
+    batch_stats = {
+        r["domain"]: r["n_urls"] for r in url_domain_stats(batch_df).collect()
+    }
+    assert dict(agg) == batch_stats
