@@ -25,6 +25,7 @@ def chunk_documents(
     overlap: int = 32,
     id_col: str = "doc_id",
     text_col: str = "text",
+    emit_words: bool = False,
 ) -> DataFrame:
     """Split each doc's word sequence into windows of ``window`` words that
     overlap by ``overlap``; the final window may be shorter.  Docs with zero
@@ -39,6 +40,12 @@ def chunk_documents(
     needing retrievable source passages should carry ``(doc_id, chunk_idx,
     span)`` back to the source text instead of using ``chunk_text`` as the
     display form.
+
+    ``emit_words=True`` adds the sliced word ARRAY as ``chunk_words`` so a
+    downstream explode (the rag_index embedding stage) feeds off the array
+    directly instead of re-splitting the joined string (review finding: the
+    join/split round-trip materialized throwaway strings on the index-build
+    hot path).
 
     Chunk starts walk at ``stride = window - overlap``:
     ``n_chunks = ceil((n - overlap) / stride)`` for ``n > overlap`` else 1 —
@@ -65,7 +72,7 @@ def chunk_documents(
         .otherwise(F.lit(1))
         .alias("n_chunks"),
     )
-    return sized.select(
+    sliced = sized.select(
         "doc_id",
         F.explode(F.sequence(F.lit(0), (F.col("n_chunks") - 1).cast("int"))).alias(
             "ci"
@@ -74,17 +81,16 @@ def chunk_documents(
     ).select(
         "doc_id",
         F.col("ci").cast("long").alias("chunk_idx"),
-        "ws",
-    ).select(
+        F.slice(
+            F.col("ws"), (F.col("ci") * stride + 1).cast("int"), window
+        ).alias("cws"),
+    )
+    cols = [
         "doc_id",
         "chunk_idx",
-        F.size(
-            F.slice(F.col("ws"), (F.col("chunk_idx") * stride + 1).cast("int"), window)
-        )
-        .cast("long")
-        .alias("n_words"),
-        F.array_join(
-            F.slice(F.col("ws"), (F.col("chunk_idx") * stride + 1).cast("int"), window),
-            " ",
-        ).alias("chunk_text"),
-    )
+        F.size("cws").cast("long").alias("n_words"),
+        F.array_join(F.col("cws"), " ").alias("chunk_text"),
+    ]
+    if emit_words:
+        cols.append(F.col("cws").alias("chunk_words"))
+    return sliced.select(*cols)

@@ -1186,31 +1186,51 @@ FROM isl GROUP BY doc_id, grp
 """
 
 
-def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token-window chunking (the op the reference's node pipeline feeds):
-    window=24/overlap=8 so the sf corpus (10-99 words/doc) actually produces
-    multi-chunk docs and the stride/ceil-div arithmetic is exercised."""
-    from open_parse_spark.operators.chunking import chunk_documents
+# registry chunking config: window=24/overlap=8 so the sf corpus (10-99
+# words/doc) genuinely multi-chunks.  ONE source of truth shared by
+# q_doc_chunks, q_rag_index and both their oracles (review finding: the
+# constants had been copy-pasted into four places).
+CHUNK_W, CHUNK_OV = 24, 8
+_CHUNK_STRIDE = CHUNK_W - CHUNK_OV
 
-    return chunk_documents(_tbl(spark, sf_dir, "documents"), window=24, overlap=8)
 
-
-SQL_DOC_CHUNKS = """
-WITH w AS (
+def _chunk_ctes(window: int = CHUNK_W, overlap: int = CHUNK_OV) -> str:
+    """The DuckDB replay of ``chunk_documents`` as chained CTEs ending in
+    ``chunks(doc_id, chunk_idx, n_words, cws)``."""
+    stride = window - overlap
+    return f"""w AS (
   SELECT doc_id,
          list_transform(regexp_extract_all(text, '[A-Za-z0-9]+'), x -> lower(x)) AS ws
   FROM documents
 ), sized AS (
   SELECT doc_id, ws, len(ws) AS n,
-         CASE WHEN len(ws) > 8 THEN (len(ws) - 8 + 15) // 16 ELSE 1 END AS n_chunks
+         CASE WHEN len(ws) > {overlap}
+              THEN (len(ws) - {overlap} + {stride - 1}) // {stride}
+              ELSE 1 END AS n_chunks
   FROM w WHERE len(ws) > 0
 ), idx AS (
   SELECT doc_id, ws, unnest(range(0, n_chunks))::BIGINT AS chunk_idx FROM sized
-)
-SELECT doc_id, chunk_idx,
-       len(list_slice(ws, chunk_idx*16 + 1, chunk_idx*16 + 24))::BIGINT AS n_words,
-       array_to_string(list_slice(ws, chunk_idx*16 + 1, chunk_idx*16 + 24), ' ') AS chunk_text
-FROM idx
+), chunks AS (
+  SELECT doc_id, chunk_idx,
+         len(list_slice(ws, chunk_idx*{stride} + 1, chunk_idx*{stride} + {window}))::BIGINT AS n_words,
+         list_slice(ws, chunk_idx*{stride} + 1, chunk_idx*{stride} + {window}) AS cws
+  FROM idx
+)"""
+
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window chunking (the op the reference's node pipeline feeds)."""
+    from open_parse_spark.operators.chunking import chunk_documents
+
+    return chunk_documents(
+        _tbl(spark, sf_dir, "documents"), window=CHUNK_W, overlap=CHUNK_OV
+    )
+
+
+SQL_DOC_CHUNKS = f"""
+WITH {_chunk_ctes()}
+SELECT doc_id, chunk_idx, n_words, array_to_string(cws, ' ') AS chunk_text
+FROM chunks
 """
 
 
@@ -1229,12 +1249,20 @@ def q_rag_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     from open_parse_spark.operators.chunking import chunk_documents
 
     n_planes, dim = 4, 64
-    chunks = chunk_documents(_tbl(spark, sf_dir, "documents"), window=24, overlap=8)
+    chunks = chunk_documents(
+        _tbl(spark, sf_dir, "documents"),
+        window=CHUNK_W,
+        overlap=CHUNK_OV,
+        emit_words=True,
+    )
     words_ex = chunks.select(
         "doc_id",
         "chunk_idx",
         "n_words",
-        F.explode(F.split(F.col("chunk_text"), " ")).alias("word"),
+        # explode the sliced word ARRAY directly — re-splitting chunk_text
+        # would round-trip every chunk through a throwaway joined string
+        # (review finding)
+        F.explode(F.col("chunk_words")).alias("word"),
     ).withColumn("h", T.md5_long(F.col("word")))
     # per-word contribution to plane p's dot product:
     #   sign(word) * plane_int_p[bucket(word)]
@@ -1267,22 +1295,7 @@ def _rag_plane_sql(p: int, dim: int = 64) -> str:
 
 
 SQL_RAG_INDEX = f"""
-WITH w AS (
-  SELECT doc_id,
-         list_transform(regexp_extract_all(text, '[A-Za-z0-9]+'), x -> lower(x)) AS ws
-  FROM documents
-), sized AS (
-  SELECT doc_id, ws, len(ws) AS n,
-         CASE WHEN len(ws) > 8 THEN (len(ws) - 8 + 15) // 16 ELSE 1 END AS n_chunks
-  FROM w WHERE len(ws) > 0
-), idx AS (
-  SELECT doc_id, ws, unnest(range(0, n_chunks))::BIGINT AS chunk_idx FROM sized
-), chunks AS (
-  SELECT doc_id, chunk_idx,
-         len(list_slice(ws, chunk_idx*16 + 1, chunk_idx*16 + 24))::BIGINT AS n_words,
-         list_slice(ws, chunk_idx*16 + 1, chunk_idx*16 + 24) AS cws
-  FROM idx
-), cw AS (
+WITH {_chunk_ctes()}, cw AS (
   SELECT doc_id, chunk_idx, n_words, unnest(cws) AS word FROM chunks
 ), wh AS (
   SELECT doc_id, chunk_idx, n_words,

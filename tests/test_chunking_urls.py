@@ -89,7 +89,7 @@ def test_url_dialect_parity_spark_vs_duckdb(spark):
 
     con = duckdb.connect()
     pat = URL_RE.replace("'", "''")
-    dom_pat = _DOMAIN_RE.replace("\\", "\\")  # same pattern, both engines
+    dom_pat = _DOMAIN_RE.replace("'", "''")  # SQL-quote escape, like pat
     want = {}
     for i, t in enumerate(HOSTILE_URLS):
         urls = con.execute(
@@ -102,7 +102,15 @@ def test_url_dialect_parity_spark_vs_duckdb(spark):
             ).fetchone()[0]
             want[(i, pos)] = (u, dom)
     assert got == want
-    # sanity on semantics, not just parity
+    # INDEPENDENT semantic checks (not just engine parity — a bug shared by
+    # both engines would pass the parity assert; review finding):
+    import re as _re
+
+    strict = _re.compile(r"^[a-z0-9-]+(\.[a-z0-9-]+)*$")
+    for (i, pos), (u, dom) in got.items():
+        assert strict.match(dom), f"malformed domain {dom!r} from {u!r}"
+        assert not u[-1] in ".,;:!?'", f"URL kept trailing punctuation: {u!r}"
+        assert u.startswith(("http://", "https://"))
     assert got[(1, 0)][1] == "example.com"
     assert all(k[0] != 6 and k[0] != 7 for k in got), "scheme must be exact-case http(s)"
 
