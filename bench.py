@@ -251,6 +251,7 @@ def main() -> None:
         "url_domains",
         "dup_spans",
         "rag_index",
+        "chunk_merge",
     ]
 
     query_secs: dict[str, float] = {}

@@ -94,3 +94,90 @@ def chunk_documents(
     if emit_words:
         cols.append(F.col("cws").alias("chunk_words"))
     return sliced.select(*cols)
+
+
+_MERGE_SCHEMA = "doc_id long, group_idx long, n_chunks long, n_words long"
+
+
+def _md5_long_py(word: str) -> int:
+    """Python twin of ``functions/text.md5_long`` (first 15 md5 hex chars),
+    bit-exact with the DuckDB replay."""
+    import hashlib
+
+    return int(hashlib.md5(word.encode("utf-8")).hexdigest()[:15], 16)
+
+
+def merge_chunks_semantic(
+    df: DataFrame,
+    window: int = 128,
+    overlap: int = 32,
+    dim: int = 64,
+    num_sq: int = 1,
+    den_sq: int = 4,
+    max_words: int = 256,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-level analog of the reference's P11 semantic merge, applied to
+    chunks: greedy left-to-right fold per doc that absorbs the next chunk
+    into the current group while cosine(group, next) >= tau and the group
+    stays under ``max_words``.  Embeddings are the signed md5-bucket bag of
+    words (integers), and the cosine test is exact integer arithmetic —
+    ``dot > 0 AND den_sq*dot^2 >= num_sq*|a|^2*|b|^2`` with
+    ``tau^2 = num_sq/den_sq`` — so a DuckDB recursive CTE replays the whole
+    fold (registry ``chunk_merge``).
+
+    Same Spark shape as sequence packing: sequential within a doc,
+    embarrassingly parallel across docs — groupBy(doc) + Arrow
+    ``applyInPandas``, one shuffle total.  Returns
+    (doc_id, group_idx, n_chunks, n_words)."""
+    import numpy as np
+    import pandas as pd
+
+    chunks = chunk_documents(
+        df, window=window, overlap=overlap, id_col=id_col, text_col=text_col,
+        emit_words=True,
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("chunk_idx", kind="stable")
+        out = {"doc_id": [], "group_idx": [], "n_chunks": [], "n_words": []}
+        gvec = None
+        gwords = gchunks = 0
+        gidx = -1
+        doc_id = int(pdf["doc_id"].iloc[0]) if len(pdf) else None
+
+        def emit():
+            out["doc_id"].append(doc_id)
+            out["group_idx"].append(gidx)
+            out["n_chunks"].append(gchunks)
+            out["n_words"].append(gwords)
+
+        for words_arr, nw in zip(pdf["chunk_words"], pdf["n_words"]):
+            vec = np.zeros(dim, dtype=np.int64)
+            for w in words_arr:
+                h = _md5_long_py(w)
+                vec[h % dim] += ((h // dim) % 2) * 2 - 1
+            if gvec is not None:
+                dot = int(gvec @ vec)
+                ok = (
+                    dot > 0
+                    and den_sq * dot * dot
+                    >= num_sq * int(gvec @ gvec) * int(vec @ vec)
+                    and gwords + int(nw) <= max_words
+                )
+                if ok:
+                    gvec = gvec + vec
+                    gwords += int(nw)
+                    gchunks += 1
+                    continue
+                emit()
+            gidx += 1
+            gvec = vec
+            gwords = int(nw)
+            gchunks = 1
+        if gvec is not None:
+            emit()
+        return pd.DataFrame(out)
+
+    return chunks.groupBy(id_col).applyInPandas(fold, schema=_MERGE_SCHEMA)

@@ -1287,6 +1287,66 @@ def q_rag_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_chunk_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level semantic chunk merge (the P11 analog over chunks):
+    greedy integer-cosine fold per doc, tau^2=1/4, groups capped at 2
+    windows.  The whole sequential fold is replayed by a DuckDB recursive
+    CTE — same proof pattern as pack_sequences."""
+    from open_parse_spark.operators.chunking import merge_chunks_semantic
+
+    return merge_chunks_semantic(
+        _tbl(spark, sf_dir, "documents"),
+        window=CHUNK_W,
+        overlap=CHUNK_OV,
+        dim=64,
+        num_sq=1,
+        den_sq=4,
+        max_words=2 * CHUNK_W,
+    )
+
+
+SQL_CHUNK_MERGE = f"""
+WITH RECURSIVE {_chunk_ctes()}, cw AS (
+  SELECT doc_id, chunk_idx, n_words, unnest(cws) AS word FROM chunks
+), wb AS (
+  SELECT doc_id, chunk_idx, n_words,
+         ('0x'||substr(md5(word),1,15))::BIGINT AS h
+  FROM cw
+), dense AS (
+  SELECT doc_id, chunk_idx, n_words, list(cnt ORDER BY b)::BIGINT[] AS vec FROM (
+    SELECT doc_id, chunk_idx, n_words, b.b AS b,
+           coalesce(sum(CASE WHEN h % 64 = b.b THEN ((h // 64) % 2) * 2 - 1 END), 0) AS cnt
+    FROM wb, (SELECT unnest(range(0, 64)) AS b) b
+    GROUP BY doc_id, chunk_idx, n_words, b.b)
+  GROUP BY doc_id, chunk_idx, n_words
+), walk(doc_id, chunk_idx, group_idx, gvec, gwords, gchunks) AS (
+  SELECT doc_id, chunk_idx, 0::BIGINT, vec, n_words, 1::BIGINT
+  FROM dense WHERE chunk_idx = 0
+  UNION ALL
+  SELECT c.doc_id, c.chunk_idx,
+         CASE WHEN m.ok THEN p.group_idx ELSE p.group_idx + 1 END,
+         CASE WHEN m.ok
+              THEN list_transform(range(1, 65), i -> p.gvec[i] + c.vec[i])::BIGINT[]
+              ELSE c.vec END,
+         CASE WHEN m.ok THEN p.gwords + c.n_words ELSE c.n_words END,
+         CASE WHEN m.ok THEN p.gchunks + 1 ELSE 1::BIGINT END
+  FROM walk p
+  JOIN dense c ON c.doc_id = p.doc_id AND c.chunk_idx = p.chunk_idx + 1
+  CROSS JOIN LATERAL (
+    SELECT (list_dot_product(p.gvec, c.vec) > 0
+            AND 4 * list_dot_product(p.gvec, c.vec)
+                  * list_dot_product(p.gvec, c.vec)
+                >= 1 * list_dot_product(p.gvec, p.gvec)
+                     * list_dot_product(c.vec, c.vec)
+            AND p.gwords + c.n_words <= {2 * CHUNK_W}) AS ok) m
+)
+SELECT doc_id, group_idx, gchunks AS n_chunks, gwords AS n_words
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id, group_idx
+                                   ORDER BY chunk_idx DESC) AS rn FROM walk)
+WHERE rn = 1
+"""
+
+
 def _rag_plane_sql(p: int, dim: int = 64) -> str:
     vals = ", ".join(
         str(int(round(v * 1000))) for v in S.plane_values(p, dim)
@@ -2678,6 +2738,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "doc_chunks": (q_doc_chunks, SQL_DOC_CHUNKS),
     "dup_spans": (q_dup_spans, SQL_DUP_SPANS),
     "rag_index": (q_rag_index, SQL_RAG_INDEX),
+    "chunk_merge": (q_chunk_merge, SQL_CHUNK_MERGE),
     "url_domains": (q_url_domains, SQL_URL_DOMAINS),
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
     "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),

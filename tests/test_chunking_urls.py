@@ -179,3 +179,56 @@ def test_chunking_hypothesis_vs_python_reference(spark):
         assert covered == {f"w{i}" for i in range(n)}
 
     check()
+
+
+def test_chunk_merge_semantic_invariants(spark):
+    """Greedy semantic merge: groups partition the chunk sequence in order,
+    word/chunk totals are conserved, and similar adjacent chunks merge while
+    dissimilar ones do not."""
+    from open_parse_spark.operators.chunking import (
+        chunk_documents,
+        merge_chunks_semantic,
+    )
+
+    rows = [
+        # doc 1: the same 6 words repeated -> adjacent chunks near-identical
+        (1, " ".join(["apple banana cherry date elder fig"] * 6)),
+        # doc 2: disjoint vocab per window -> no merges
+        (2, " ".join(f"uniq{i}a uniq{i}b uniq{i}c uniq{i}d" for i in range(9))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    window, overlap = 12, 4
+    chunks = chunk_documents(df, window=window, overlap=overlap).collect()
+    groups = merge_chunks_semantic(
+        df, window=window, overlap=overlap, num_sq=1, den_sq=4, max_words=24
+    ).collect()
+    by_doc_chunks = {}
+    for r in chunks:
+        by_doc_chunks.setdefault(r["doc_id"], []).append(r)
+    by_doc_groups = {}
+    for r in groups:
+        by_doc_groups.setdefault(r["doc_id"], []).append(r)
+    for doc in (1, 2):
+        gs = sorted(by_doc_groups[doc], key=lambda r: r["group_idx"])
+        assert [g["group_idx"] for g in gs] == list(range(len(gs)))
+        assert sum(g["n_chunks"] for g in gs) == len(by_doc_chunks[doc])
+        assert sum(g["n_words"] for g in gs) == sum(
+            c["n_words"] for c in by_doc_chunks[doc]
+        )
+    # doc 1 merges (repeated vocab, cap 24 words = 2 chunks/group);
+    # doc 2 never merges (disjoint vocab -> cosine ~ 0)
+    assert any(g["n_chunks"] >= 2 for g in by_doc_groups[1])
+    assert all(g["n_chunks"] == 1 for g in by_doc_groups[2]), by_doc_groups[2]
+
+
+def test_chunk_merge_empty_and_single(spark):
+    from open_parse_spark.operators.chunking import merge_chunks_semantic
+
+    df = spark.createDataFrame(
+        [(1, "just four words here"), (2, ""), (3, None)],
+        "doc_id long, text string",
+    )
+    out = merge_chunks_semantic(df, window=8, overlap=2).collect()
+    assert len(out) == 1
+    assert (out[0]["doc_id"], out[0]["group_idx"], out[0]["n_chunks"],
+            out[0]["n_words"]) == (1, 0, 1, 4)
