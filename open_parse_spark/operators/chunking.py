@@ -14,6 +14,9 @@ DuckDB oracle replays it exactly (registry ``doc_chunks``).
 
 from __future__ import annotations
 
+import hashlib
+from functools import lru_cache
+
 from pyspark.sql import DataFrame, functions as F
 
 from open_parse_spark.functions.text import words
@@ -99,12 +102,16 @@ def chunk_documents(
 _MERGE_SCHEMA = "doc_id long, group_idx long, n_chunks long, n_words long"
 
 
-def _md5_long_py(word: str) -> int:
-    """Python twin of ``functions/text.md5_long`` (first 15 md5 hex chars),
-    bit-exact with the DuckDB replay."""
-    import hashlib
-
-    return int(hashlib.md5(word.encode("utf-8")).hexdigest()[:15], 16)
+@lru_cache(maxsize=65536)
+def _bucket_sign(word: str, dim: int):
+    """Memoized word -> (bucket, sign) from the md5_long hash (python twin
+    of ``functions/text.md5_long``, bit-exact with the DuckDB replay).
+    Module-level so the Arrow UDF pickles it BY REFERENCE (a closure-local
+    lru_cache is unpicklable); the per-worker cache matters because overlap
+    words are seen twice per doc and natural corpora repeat words heavily
+    (review finding)."""
+    h = int(hashlib.md5(word.encode("utf-8")).hexdigest()[:15], 16)
+    return h % dim, ((h // dim) % 2) * 2 - 1
 
 
 def merge_chunks_semantic(
@@ -138,14 +145,13 @@ def merge_chunks_semantic(
         df, window=window, overlap=overlap, id_col=id_col, text_col=text_col,
         emit_words=True,
     )
-
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("chunk_idx", kind="stable")
         out = {"doc_id": [], "group_idx": [], "n_chunks": [], "n_words": []}
         gvec = None
         gwords = gchunks = 0
         gidx = -1
-        doc_id = int(pdf["doc_id"].iloc[0]) if len(pdf) else None
+        doc_id = pdf["doc_id"].iloc[0] if len(pdf) else None
 
         def emit():
             out["doc_id"].append(doc_id)
@@ -156,8 +162,8 @@ def merge_chunks_semantic(
         for words_arr, nw in zip(pdf["chunk_words"], pdf["n_words"]):
             vec = np.zeros(dim, dtype=np.int64)
             for w in words_arr:
-                h = _md5_long_py(w)
-                vec[h % dim] += ((h // dim) % 2) * 2 - 1
+                b, s = _bucket_sign(w, dim)
+                vec[b] += s
             if gvec is not None:
                 dot = int(gvec @ vec)
                 ok = (
@@ -180,4 +186,8 @@ def merge_chunks_semantic(
             emit()
         return pd.DataFrame(out)
 
-    return chunks.groupBy(id_col).applyInPandas(fold, schema=_MERGE_SCHEMA)
+    # chunk_documents aliased the id column to "doc_id" — grouping by the
+    # caller's original name crashed for any non-default id_col (review
+    # finding).  The output schema pins doc_id as long: pass an integral id
+    # (cast upstream like pack_sequences does for non-integral keys).
+    return chunks.groupBy("doc_id").applyInPandas(fold, schema=_MERGE_SCHEMA)

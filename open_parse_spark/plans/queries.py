@@ -1287,6 +1287,12 @@ def q_rag_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# chunk-merge tuning shared by the Spark query and its oracle (interpolated
+# into SQL_CHUNK_MERGE — hardcoding them twice is the copy-paste failure
+# mode the CHUNK_W note above documents)
+MERGE_DIM, MERGE_NUM_SQ, MERGE_DEN_SQ = 64, 1, 4
+
+
 def q_chunk_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level semantic chunk merge (the P11 analog over chunks):
     greedy integer-cosine fold per doc, tau^2=1/4, groups capped at 2
@@ -1298,9 +1304,9 @@ def q_chunk_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         _tbl(spark, sf_dir, "documents"),
         window=CHUNK_W,
         overlap=CHUNK_OV,
-        dim=64,
-        num_sq=1,
-        den_sq=4,
+        dim=MERGE_DIM,
+        num_sq=MERGE_NUM_SQ,
+        den_sq=MERGE_DEN_SQ,
         max_words=2 * CHUNK_W,
     )
 
@@ -1315,8 +1321,8 @@ WITH RECURSIVE {_chunk_ctes()}, cw AS (
 ), dense AS (
   SELECT doc_id, chunk_idx, n_words, list(cnt ORDER BY b)::BIGINT[] AS vec FROM (
     SELECT doc_id, chunk_idx, n_words, b.b AS b,
-           coalesce(sum(CASE WHEN h % 64 = b.b THEN ((h // 64) % 2) * 2 - 1 END), 0) AS cnt
-    FROM wb, (SELECT unnest(range(0, 64)) AS b) b
+           coalesce(sum(CASE WHEN h % {MERGE_DIM} = b.b THEN ((h // {MERGE_DIM}) % 2) * 2 - 1 END), 0) AS cnt
+    FROM wb, (SELECT unnest(range(0, {MERGE_DIM})) AS b) b
     GROUP BY doc_id, chunk_idx, n_words, b.b)
   GROUP BY doc_id, chunk_idx, n_words
 ), walk(doc_id, chunk_idx, group_idx, gvec, gwords, gchunks) AS (
@@ -1326,7 +1332,7 @@ WITH RECURSIVE {_chunk_ctes()}, cw AS (
   SELECT c.doc_id, c.chunk_idx,
          CASE WHEN m.ok THEN p.group_idx ELSE p.group_idx + 1 END,
          CASE WHEN m.ok
-              THEN list_transform(range(1, 65), i -> p.gvec[i] + c.vec[i])::BIGINT[]
+              THEN list_transform(range(1, {MERGE_DIM + 1}), i -> p.gvec[i] + c.vec[i])::BIGINT[]
               ELSE c.vec END,
          CASE WHEN m.ok THEN p.gwords + c.n_words ELSE c.n_words END,
          CASE WHEN m.ok THEN p.gchunks + 1 ELSE 1::BIGINT END
@@ -1334,9 +1340,9 @@ WITH RECURSIVE {_chunk_ctes()}, cw AS (
   JOIN dense c ON c.doc_id = p.doc_id AND c.chunk_idx = p.chunk_idx + 1
   CROSS JOIN LATERAL (
     SELECT (list_dot_product(p.gvec, c.vec) > 0
-            AND 4 * list_dot_product(p.gvec, c.vec)
+            AND {MERGE_DEN_SQ} * list_dot_product(p.gvec, c.vec)
                   * list_dot_product(p.gvec, c.vec)
-                >= 1 * list_dot_product(p.gvec, p.gvec)
+                >= {MERGE_NUM_SQ} * list_dot_product(p.gvec, p.gvec)
                      * list_dot_product(c.vec, c.vec)
             AND p.gwords + c.n_words <= {2 * CHUNK_W}) AS ok) m
 )

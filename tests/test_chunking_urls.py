@@ -232,3 +232,16 @@ def test_chunk_merge_empty_and_single(spark):
     assert len(out) == 1
     assert (out[0]["doc_id"], out[0]["group_idx"], out[0]["n_chunks"],
             out[0]["n_words"]) == (1, 0, 1, 4)
+
+
+def test_chunk_merge_non_default_id_col(spark):
+    # chunk_documents aliases the id column to doc_id; grouping by the
+    # caller's original name crashed for any non-default id_col — review
+    # finding
+    from open_parse_spark.operators.chunking import merge_chunks_semantic
+
+    df = spark.createDataFrame(
+        [(7, "a few plain words in a row here")], "page_id long, text string"
+    )
+    out = merge_chunks_semantic(df, window=8, overlap=2, id_col="page_id").collect()
+    assert len(out) == 1 and out[0]["doc_id"] == 7 and out[0]["n_words"] == 8
