@@ -353,3 +353,35 @@ def streaming_extract_urls(
     return docs.select(
         "doc_id", F.explode(extract_urls(F.col("text"))).alias("url")
     ).select("doc_id", "url", url_domain(F.col("url")).alias("domain"))
+
+
+def streaming_url_domains_hourly(
+    spark: SparkSession,
+    input_dir: str,
+    watermark: str = "2 hours",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Watermarked per-domain URL counts over a TRANSCRIPT stream: extract
+    URLs from each turn's text, then a tumbling 1h window x domain count —
+    the streaming-legal form of ``url_domain_stats`` (an unbounded global
+    groupBy is not; windowing + watermark bounds the state, late rows
+    beyond the watermark are dropped).  Append mode: a window's counts
+    emit once, when the watermark passes its end."""
+    from open_parse_spark.functions.text import extract_urls, url_domain
+
+    reader = spark.readStream.schema(TRANSCRIPT_DDL)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    turns = reader.parquet(input_dir).withWatermark("ts", watermark)
+    urls = turns.select(
+        "ts", F.explode(extract_urls(F.col("text"))).alias("url")
+    ).select("ts", url_domain(F.col("url")).alias("domain"))
+    return (
+        urls.groupBy(F.window("ts", "1 hour").alias("w"), "domain")
+        .agg(F.count(F.lit(1)).alias("n_urls"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "domain",
+            "n_urls",
+        )
+    )

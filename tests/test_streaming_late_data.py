@@ -258,3 +258,70 @@ def test_streaming_chunk_and_urls_match_batch(spark, tmp_path):
         r["domain"]: r["n_urls"] for r in url_domain_stats(batch_df).collect()
     }
     assert dict(agg) == batch_stats
+
+
+def test_streaming_url_domains_hourly_matches_batch(spark, tmp_path):
+    """Watermarked windowed domain counts == a batch groupBy over the same
+    rows, for every window the watermark closed."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from open_parse_spark.functions.text import extract_urls, url_domain
+    from open_parse_spark.streaming.jobs import (
+        run_stream_to_memory,
+        streaming_url_domains_hourly,
+    )
+
+    base = datetime.datetime(2026, 3, 1)
+    d = tmp_path / "turns"
+    d.mkdir()
+    rows = []
+    for i in range(60):
+        ts = base + datetime.timedelta(minutes=7 * i)  # spans ~7 hours
+        rows.append(
+            (f"c{i}", 0, "user",
+             f"turn {i} links https://d{i % 3}.example/p{i} end", "", ts)
+        )
+    pdf = pd.DataFrame(
+        rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    ).astype({"turn_idx": "int32", "ts": "datetime64[us]"})
+    # two files -> two micro-batches
+    pdf.iloc[:30].to_parquet(str(d / "f0.parquet"), index=False)
+    pdf.iloc[30:].to_parquet(str(d / "f1.parquet"), index=False)
+
+    q = run_stream_to_memory(
+        streaming_url_domains_hourly(
+            spark, str(d), watermark="0 seconds", max_files_per_trigger=1
+        ),
+        "url_hourly",
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["hour"], r["domain"]): r["n_urls"]
+        for r in spark.table("url_hourly").collect()
+    }
+    assert got, "no closed windows emitted"
+
+    batch_df = spark.read.parquet(str(d))
+    batch = {
+        (r["hour"], r["domain"]): r["n_urls"]
+        for r in batch_df.select(
+            "ts", F.explode(extract_urls(F.col("text"))).alias("url")
+        )
+        .select("ts", url_domain(F.col("url")).alias("domain"))
+        .groupBy(
+            F.date_format(
+                F.window("ts", "1 hour").start, "yyyy-MM-dd HH:mm:ss"
+            ).alias("hour"),
+            "domain",
+        )
+        .agg(F.count(F.lit(1)).alias("n_urls"))
+        .collect()
+    }
+    # append mode: every emitted window must match batch exactly; the final
+    # (never-closed) window is the only permitted omission
+    for k, v in got.items():
+        assert batch[k] == v, (k, v, batch.get(k))
+    missing = set(batch) - set(got)
+    assert len({h for h, _ in missing}) <= 1, f"too many unclosed windows: {missing}"
