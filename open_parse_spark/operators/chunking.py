@@ -191,3 +191,56 @@ def merge_chunks_semantic(
     # finding).  The output schema pins doc_id as long: pass an integral id
     # (cast upstream like pack_sequences does for non-integral keys).
     return chunks.groupBy("doc_id").applyInPandas(fold, schema=_MERGE_SCHEMA)
+
+
+def rag_index_table(
+    df: DataFrame,
+    window: int = 128,
+    overlap: int = 32,
+    n_planes: int = 4,
+    dim: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The RAG index-build body shared by the registry query and the
+    incremental (foreachBatch) writer: chunk -> signed md5-bucket hashing
+    embedding -> integer-LSH bucket.  All-integer (sign bits via
+    ``shiftright``, hyperplanes scaled x1000 to int64), so the output is
+    engine-reproducible — see ``plans/queries.py:SQL_RAG_INDEX`` for the
+    DuckDB replay.  One shuffle (the per-chunk groupBy).  Returns
+    (doc_id, chunk_idx, n_words, bucket)."""
+    from open_parse_spark.functions.text import md5_long
+    from open_parse_spark.operators.similarity import plane_values
+
+    # sign bit via shiftright, NOT h/dim: float division of the 60-bit hash
+    # loses integer precision above 2^53 (dim must stay a power of two for
+    # the shift to equal the oracle's exact `h // dim`)
+    shift = dim.bit_length() - 1
+    if 1 << shift != dim:
+        raise ValueError("dim must be a power of two")
+    chunks = chunk_documents(
+        df, window=window, overlap=overlap, id_col=id_col, text_col=text_col,
+        emit_words=True,
+    )
+    words_ex = chunks.select(
+        "doc_id",
+        "chunk_idx",
+        "n_words",
+        F.explode(F.col("chunk_words")).alias("word"),
+    ).withColumn("h", md5_long(F.col("word")))
+    sign = (F.shiftright(F.col("h"), shift) % 2) * 2 - 1
+    bucket_idx = (F.col("h") % dim + 1).cast("int")
+    aggs = []
+    for p in range(n_planes):
+        plane_int = [int(round(v * 1000)) for v in plane_values(p, dim)]
+        contrib = sign * F.element_at(
+            F.array(*[F.lit(v).cast("long") for v in plane_int]), bucket_idx
+        )
+        aggs.append(F.sum(contrib).alias(f"dot{p}"))
+    dots = words_ex.groupBy("doc_id", "chunk_idx", "n_words").agg(*aggs)
+    bucket = F.lit(0).cast("long")
+    for p in range(n_planes):  # MSB first, like lsh_bucket
+        bucket = bucket * 2 + F.when(F.col(f"dot{p}") >= 0, 1).otherwise(0)
+    return dots.select(
+        "doc_id", "chunk_idx", "n_words", bucket.alias("bucket")
+    )

@@ -1246,44 +1246,10 @@ def q_rag_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB this is the index-build job: chunk (map) -> explode words
     (map) -> one groupBy (doc_id, chunk_idx) with 4 integer sums ->
     write, partitioned by bucket.  One shuffle total."""
-    from open_parse_spark.operators.chunking import chunk_documents
+    from open_parse_spark.operators.chunking import rag_index_table
 
-    n_planes, dim = 4, 64
-    chunks = chunk_documents(
-        _tbl(spark, sf_dir, "documents"),
-        window=CHUNK_W,
-        overlap=CHUNK_OV,
-        emit_words=True,
-    )
-    words_ex = chunks.select(
-        "doc_id",
-        "chunk_idx",
-        "n_words",
-        # explode the sliced word ARRAY directly — re-splitting chunk_text
-        # would round-trip every chunk through a throwaway joined string
-        # (review finding)
-        F.explode(F.col("chunk_words")).alias("word"),
-    ).withColumn("h", T.md5_long(F.col("word")))
-    # per-word contribution to plane p's dot product:
-    #   sign(word) * plane_int_p[bucket(word)]
-    # sign bit via shiftright, NOT h/64: float division of a 60-bit hash
-    # loses integer precision above 2^53 and the parity bit would diverge
-    # from DuckDB's exact `h // 64`
-    sign = (F.shiftright(F.col("h"), 6) % 2) * 2 - 1
-    bucket_idx = (F.col("h") % dim + 1).cast("int")
-    aggs = []
-    for p in range(n_planes):
-        plane_int = [int(round(v * 1000)) for v in S.plane_values(p, dim)]
-        contrib = sign * F.element_at(
-            F.array(*[F.lit(v).cast("long") for v in plane_int]), bucket_idx
-        )
-        aggs.append(F.sum(contrib).alias(f"dot{p}"))
-    dots = words_ex.groupBy("doc_id", "chunk_idx", "n_words").agg(*aggs)
-    bucket = F.lit(0).cast("long")
-    for p in range(n_planes):  # MSB first, like lsh_bucket
-        bucket = bucket * 2 + F.when(F.col(f"dot{p}") >= 0, 1).otherwise(0)
-    return dots.select(
-        "doc_id", "chunk_idx", "n_words", bucket.alias("bucket")
+    return rag_index_table(
+        _tbl(spark, sf_dir, "documents"), window=CHUNK_W, overlap=CHUNK_OV
     )
 
 

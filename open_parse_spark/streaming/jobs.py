@@ -385,3 +385,43 @@ def streaming_url_domains_hourly(
             "n_urls",
         )
     )
+
+
+def streaming_rag_index(
+    spark: SparkSession,
+    input_dir: str,
+    output_path: str,
+    checkpoint_path: str,
+    window: int = 128,
+    overlap: int = 32,
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+):
+    """Incremental RAG index build: each micro-batch of documents runs the
+    SAME chunk->embed->LSH-bucket body as the batch query (``foreachBatch``
+    hands a plain batch DataFrame, so the groupBy inside ``rag_index_table``
+    is legal) and APPENDS to a bucket-partitioned parquet table — the
+    layout ANN serving prunes on.  Exactly-once comes from the streaming
+    checkpoint (foreachBatch replays a failed batch; the append is
+    idempotent per epoch only under the default parquet committer — at
+    cluster scale point this at an Iceberg table for atomic appends).
+    Returns the started StreamingQuery."""
+    from open_parse_spark.operators.chunking import rag_index_table
+
+    reader = spark.readStream.schema(DOCUMENT_DDL)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    docs = reader.parquet(input_dir)
+
+    def write_batch(batch_df, epoch_id):
+        rag_index_table(batch_df, window=window, overlap=overlap).write.mode(
+            "append"
+        ).partitionBy("bucket").parquet(output_path)
+
+    writer = (
+        docs.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -325,3 +325,47 @@ def test_streaming_url_domains_hourly_matches_batch(spark, tmp_path):
         assert batch[k] == v, (k, v, batch.get(k))
     missing = set(batch) - set(got)
     assert len({h for h, _ in missing}) <= 1, f"too many unclosed windows: {missing}"
+
+
+def test_streaming_rag_index_matches_batch(spark, tmp_path):
+    """foreachBatch incremental index == the batch rag_index_table over all
+    rows, written bucket-partitioned."""
+    import duckdb
+
+    from open_parse_spark.operators.chunking import rag_index_table
+    from open_parse_spark.streaming.jobs import streaming_rag_index
+
+    d = tmp_path / "docs"
+    d.mkdir()
+    con = duckdb.connect()
+    for f in range(2):
+        con.execute(
+            f"""COPY (SELECT i AS doc_id,
+                 'doc ' || i::VARCHAR || ' ' || repeat('tok' || (i % 5)::VARCHAR || ' ', 20) AS text,
+                 'en' AS lang, 's' AS source, 1::BIGINT AS n_chars
+               FROM generate_series({f * 15}, {f * 15 + 14}) t(i))
+               TO '{d / f"f{f}.parquet"}' (FORMAT PARQUET)"""
+        )
+    out = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+    q = streaming_rag_index(
+        spark, str(d), out, ckpt, window=8, overlap=2, max_files_per_trigger=1
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["doc_id"], r["chunk_idx"]): (r["n_words"], r["bucket"])
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        (r["doc_id"], r["chunk_idx"]): (r["n_words"], r["bucket"])
+        for r in rag_index_table(
+            spark.read.parquet(str(d)), window=8, overlap=2
+        ).collect()
+    }
+    assert got == want and len(got) > 30
+    # the physical layout is the serving layout: partitioned by bucket
+    import os
+
+    parts = [p for p in os.listdir(out) if p.startswith("bucket=")]
+    assert len(parts) >= 2, parts
