@@ -344,15 +344,21 @@ def streaming_extract_urls(
     per-document (doc_id, url, domain) rows, stateless append.  The
     per-domain AGGREGATION stays batch (or becomes a watermarked windowed
     agg downstream) — an unbounded global groupBy is not streaming-legal."""
-    from open_parse_spark.functions.text import extract_urls, url_domain
-
     reader = spark.readStream.schema(DOCUMENT_DDL)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    docs = reader.parquet(input_dir)
-    return docs.select(
-        "doc_id", F.explode(extract_urls(F.col("text"))).alias("url")
-    ).select("doc_id", "url", url_domain(F.col("url")).alias("domain"))
+    return _url_rows(reader.parquet(input_dir), "doc_id")
+
+
+def _url_rows(df: DataFrame, *key_cols: str) -> DataFrame:
+    """THE shared (keys..., url, domain) projection for every URL job —
+    both streaming variants route through it so an extraction or
+    domain-lowering fix cannot silently diverge them (review finding)."""
+    from open_parse_spark.functions.text import extract_urls, url_domain
+
+    return df.select(
+        *key_cols, F.explode(extract_urls(F.col("text"))).alias("url")
+    ).select(*key_cols, "url", url_domain(F.col("url")).alias("domain"))
 
 
 def streaming_url_domains_hourly(
@@ -367,15 +373,11 @@ def streaming_url_domains_hourly(
     groupBy is not; windowing + watermark bounds the state, late rows
     beyond the watermark are dropped).  Append mode: a window's counts
     emit once, when the watermark passes its end."""
-    from open_parse_spark.functions.text import extract_urls, url_domain
-
     reader = spark.readStream.schema(TRANSCRIPT_DDL)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     turns = reader.parquet(input_dir).withWatermark("ts", watermark)
-    urls = turns.select(
-        "ts", F.explode(extract_urls(F.col("text"))).alias("url")
-    ).select("ts", url_domain(F.col("url")).alias("domain"))
+    urls = _url_rows(turns, "ts").select("ts", "domain")
     return (
         urls.groupBy(F.window("ts", "1 hour").alias("w"), "domain")
         .agg(F.count(F.lit(1)).alias("n_urls"))
@@ -400,11 +402,15 @@ def streaming_rag_index(
     """Incremental RAG index build: each micro-batch of documents runs the
     SAME chunk->embed->LSH-bucket body as the batch query (``foreachBatch``
     hands a plain batch DataFrame, so the groupBy inside ``rag_index_table``
-    is legal) and APPENDS to a bucket-partitioned parquet table — the
-    layout ANN serving prunes on.  Exactly-once comes from the streaming
-    checkpoint (foreachBatch replays a failed batch; the append is
-    idempotent per epoch only under the default parquet committer — at
-    cluster scale point this at an Iceberg table for atomic appends).
+    is legal) and writes an (epoch, bucket)-partitioned parquet table —
+    bucket is the layout ANN serving prunes on; epoch makes the write
+    IDEMPOTENT: a replayed micro-batch dynamically overwrites only its own
+    epoch partitions instead of appending duplicates (a plain append
+    double-wrote every row of a batch replayed after a post-commit crash —
+    review finding).  At cluster scale point this at an Iceberg table for
+    one atomic commit instead.  NOTE: on read-back, partition-column type
+    inference yields int32 for epoch/bucket (the data wrote them as long);
+    cast or read with an explicit schema where parity matters.
     Returns the started StreamingQuery."""
     from open_parse_spark.operators.chunking import rag_index_table
 
@@ -414,9 +420,14 @@ def streaming_rag_index(
     docs = reader.parquet(input_dir)
 
     def write_batch(batch_df, epoch_id):
-        rag_index_table(batch_df, window=window, overlap=overlap).write.mode(
-            "append"
-        ).partitionBy("bucket").parquet(output_path)
+        (
+            rag_index_table(batch_df, window=window, overlap=overlap)
+            .withColumn("epoch", F.lit(int(epoch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch", "bucket")
+            .parquet(output_path)
+        )
 
     writer = (
         docs.writeStream.foreachBatch(write_batch)

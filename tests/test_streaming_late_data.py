@@ -364,8 +364,43 @@ def test_streaming_rag_index_matches_batch(spark, tmp_path):
         ).collect()
     }
     assert got == want and len(got) > 30
-    # the physical layout is the serving layout: partitioned by bucket
+    # the physical layout is the serving layout: epoch (idempotent replay
+    # unit) then bucket (ANN pruning key)
     import os
 
-    parts = [p for p in os.listdir(out) if p.startswith("bucket=")]
-    assert len(parts) >= 2, parts
+    epochs = [p for p in os.listdir(out) if p.startswith("epoch=")]
+    assert len(epochs) == 2, epochs  # one per micro-batch
+    buckets = {
+        b for e in epochs for b in os.listdir(os.path.join(out, e))
+        if b.startswith("bucket=")
+    }
+    assert len(buckets) >= 2, buckets
+
+
+def test_streaming_rag_index_replay_idempotent(spark, tmp_path):
+    """A replayed epoch must overwrite its own partitions, not append
+    duplicates (review finding: plain append double-wrote replayed rows)."""
+    import duckdb
+
+    from open_parse_spark.streaming.jobs import streaming_rag_index
+
+    d = tmp_path / "docs"
+    d.mkdir()
+    duckdb.sql(
+        f"""COPY (SELECT i AS doc_id, repeat('w' || (i % 4)::VARCHAR || ' ', 12) AS text,
+             'en' AS lang, 's' AS source, 1::BIGINT AS n_chars
+           FROM generate_series(0, 9) t(i)) TO '{d / "f.parquet"}' (FORMAT PARQUET)"""
+    )
+    out = str(tmp_path / "index")
+    # run once...
+    q = streaming_rag_index(spark, str(d), out, str(tmp_path / "ck1"), window=8, overlap=2)
+    q.awaitTermination(90)
+    first = spark.read.parquet(out).count()
+    # ...then simulate a replay of the SAME epoch (fresh checkpoint -> the
+    # whole input re-runs as epoch 0 again)
+    q2 = streaming_rag_index(spark, str(d), out, str(tmp_path / "ck2"), window=8, overlap=2)
+    q2.awaitTermination(90)
+    again = spark.read.parquet(out).count()
+    assert again == first, f"replay duplicated rows: {first} -> {again}"
+    keys = spark.read.parquet(out).select("doc_id", "chunk_idx").collect()
+    assert len(keys) == len({(r["doc_id"], r["chunk_idx"]) for r in keys})
