@@ -160,8 +160,23 @@ def streaming_sessionize(
                     session_no += 1
                     n_events = 0
                     start = ts.strftime("%Y-%m-%d %H:%M:%S")
+                    last_ts_us = ts_us
+                elif ts_us >= last_ts_us:
+                    last_ts_us = ts_us
+                else:
+                    # within-watermark row OLDER than the open session's max
+                    # (cross-batch disorder): absorb WITHOUT rewinding
+                    # last_ts_us — a rewind would inflate the next on-time
+                    # row's gap and open a phantom session, breaking the
+                    # "closed sessions ⊆ batch sessionization" contract.
+                    # If it predates the recorded start, pull the start back
+                    # (batch order would have begun the session here); the
+                    # fixed "%Y-%m-%d %H:%M:%S" format is lexicographically
+                    # ordered, so string min is timestamp min.
+                    s = ts.strftime("%Y-%m-%d %H:%M:%S")
+                    if start is None or s < start:
+                        start = s
                 n_events += 1
-                last_ts_us = ts_us
         # a new key whose micro-batch held only empty chunks has no rows and
         # last_ts_us stays None — registering state (or a timeout on None)
         # would crash the query; skip until real rows arrive

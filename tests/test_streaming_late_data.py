@@ -120,6 +120,77 @@ def test_sessionize_fuzz_jitter_across_microbatches(spark, tmp_path):
 
 
 @pytest.mark.slow
+def test_sessionize_within_watermark_disorder_no_rewind(spark, tmp_path):
+    """Cross-batch disorder WITHIN the watermark: a later micro-batch carries
+    rows older than the open session's max timestamp.  Absorbing them must
+    not rewind ``last_ts_us`` (a rewind inflates the next on-time row's gap
+    and opens a phantom session) and must pull the session start back when a
+    row predates it (batch order would have started the session there).
+
+    user 1 catches the rewind: batch 1 is entirely older than batch 0's max
+    (900s), so a rewind to 750s would make batch 2's 1400s row look 650s
+    away (> gap 600) and split what batch sessionization keeps whole.
+    user 3 catches the start pull-back: its session is later gap-closed, and
+    the emitted session_start must be the earliest row's (50s), which only
+    arrived in batch 1."""
+    base = datetime.datetime(2026, 1, 1, 12)
+    d = tmp_path / "ev"
+    d.mkdir()
+
+    def ev(eid, sec, uid):
+        return (eid, base + datetime.timedelta(seconds=sec), uid, "e", 0.0, "")
+
+    # user 2 is an on-time clock advancing the watermark steadily
+    files = [
+        [ev(0, 0, 1), ev(1, 300, 1), ev(2, 600, 1), ev(3, 900, 1),
+         ev(4, 0, 2), ev(5, 300, 2), ev(6, 600, 2), ev(7, 900, 2),
+         ev(8, 100, 3)],
+        [ev(9, 700, 1), ev(10, 750, 1),
+         ev(11, 1200, 2), ev(12, 1500, 2),
+         ev(13, 50, 3)],
+        [ev(14, 1400, 1),
+         ev(15, 1800, 2), ev(16, 2100, 2)],
+        [ev(17, 2400, 2), ev(18, 2700, 2),
+         ev(19, 2700, 3)],
+    ]
+    rows_all = []
+    for f, rows in enumerate(files):
+        _write_events(str(d / f"f{f}.parquet"), rows)
+        rows_all.extend(rows)
+
+    from open_parse_spark.streaming.jobs import (
+        run_stream_to_memory,
+        streaming_sessionize,
+    )
+
+    stream = streaming_sessionize(
+        spark, str(d), gap_seconds=600, watermark="15 minutes",
+        max_files_per_trigger=1,
+    )
+    q = run_stream_to_memory(stream, "sess_disorder", mode="append")
+    q.awaitTermination(180)
+    got = spark.table("sess_disorder").toPandas()
+    got_set = set(
+        map(tuple, got[["user_id", "session_no", "n_events", "session_start"]]
+            .itertuples(index=False))
+    )
+    assert len(got) == len(got_set), "duplicate closed session emitted"
+
+    events = pd.DataFrame(
+        rows_all, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    batch = _batch_sessions(events, 600)
+    batch_set = set(batch)
+    # no phantoms: in particular user 1 must NOT have a gap-closed session
+    # (its 7 rows are one contiguous batch session)
+    assert got_set <= batch_set, f"phantom sessions: {got_set - batch_set}"
+    # user 3's gap-closed session carries the pulled-back start (50s row
+    # that arrived one batch late)
+    start_50 = (base + datetime.timedelta(seconds=50)).strftime("%Y-%m-%d %H:%M:%S")
+    assert (3, 1, 2, start_50) in got_set, got_set
+
+
+@pytest.mark.slow
 def test_sessionize_beyond_watermark_straggler_dropped(spark, tmp_path):
     """A straggler older than the watermark must be dropped by the engine,
     not merged into (or corrupting) the user's open-session state."""
