@@ -226,8 +226,12 @@ def linear_quality_score(
 # finding).  Both engines agree on the bug AND the fix, so only crafted
 # tests — not the corpus oracle — can catch this class.
 URL_RE = r"https?://[A-Za-z0-9._~:/?#@!$&'()*+,;=%-]*[A-Za-z0-9_~/#=&%-]"
-# domain = dot-separated runs with no leading/trailing dot
-_DOMAIN_RE = r"https?://([A-Za-z0-9-]+(?:\.[A-Za-z0-9-]+)*)"
+# domain = dot-separated runs with no leading/trailing dot.  An optional
+# userinfo prefix (user[:pass]@) is skipped so 'https://user@host.com/x'
+# keys on host.com, not user; [^/@]* cannot cross the first '/', so a
+# path-side '@' never re-triggers the skip (review finding — the injected
+# corpus oracle can't catch it because both engines shared the bug).
+_DOMAIN_RE = r"https?://(?:[^/@]*@)?([A-Za-z0-9-]+(?:\.[A-Za-z0-9-]+)*)"
 
 
 def extract_urls(col: Column) -> Column:

@@ -306,18 +306,41 @@ def _assign_to_centroids_int(c: DataFrame, centroids: DataFrame) -> DataFrame:
         ).where(F.lit(False))
     ids = np.array([r["centroid_id"] for r in rows], dtype=np.int64)
     # float64 on purpose: numpy int64 matmul has no BLAS kernel (naive
-    # triple loop, measured 2x on the whole query), while every value here
-    # is an integer small enough that dgemm is EXACT: for |x| <= 67 at
-    # scale=1e6 (embeddings are O(1)), products < 2^52 and dim-length
-    # partial sums stay < 2^53, so every intermediate is exactly
-    # representable and the result is the exact integer regardless of
-    # summation order
+    # triple loop, measured 2x on the whole query).  dgemm is EXACT when
+    # every product <= 2^53/dim: then the dim-length sum is <= 2^53 and
+    # every integer partial sum is exactly representable regardless of
+    # summation order.  That holds when both operands stay within
+    # |q| <= floor(sqrt(2^53/dim)) — e.g. ~93e6 quantized units (|x|~93 at
+    # scale=1e6) for dim=1024; normalized embeddings are orders of magnitude
+    # inside it.  (The earlier "|x| <= 67" note was wrong: products near
+    # 2^52 summed over dim >= 3 DO exceed 2^53 — ADVICE r3.)  Rows beyond
+    # the bound take the exact int64 path instead of a silently-rounding
+    # dgemm, so the argmin always matches the exact-integer oracle.
     mat = np.array([r["cq"] for r in rows], dtype=np.float64)  # (k, dim)
-    sq = (mat * mat).sum(axis=1)  # |c|^2 exact, (k,)
+    sq = (mat * mat).sum(axis=1)  # |c|^2 exact under the same bound, (k,)
+    mat_i = np.array([r["cq"] for r in rows], dtype=np.int64)
+    sq_i = (mat_i * mat_i).sum(axis=1)
+    dim = mat.shape[1] if mat.ndim == 2 and mat.shape[1] else 1
+    f64_bound = int(np.floor(np.sqrt(2.0**53 / dim)))
+    mat_ok = np.abs(mat_i).max(initial=0) <= f64_bound
+    # int64 fallback overflow ceiling: dim * maxprod must stay below 2^62
+    # (distances subtract two such sums) — beyond that no fixed-width path
+    # is exact, so fail loudly rather than return a wrong argmin
+    i64_bound = int(np.floor(np.sqrt(2.0**62 / dim)))
 
     def _argmin(vs):
-        m = np.stack(vs.values).astype(np.float64)  # (n, dim)
-        d = sq[None, :] - 2.0 * (m @ mat.T)  # |v|^2 omitted: constant per row
+        m_i = np.stack(vs.values)  # int64 (n, dim)
+        if mat_ok and np.abs(m_i).max(initial=0) <= f64_bound:
+            m = m_i.astype(np.float64)
+            d = sq[None, :] - 2.0 * (m @ mat.T)  # |v|^2 omitted: const/row
+            return pd.Series(ids[d.argmin(axis=1)])
+        big = max(np.abs(m_i).max(initial=0), np.abs(mat_i).max(initial=0))
+        if big > i64_bound:
+            raise ValueError(
+                f"quantized magnitude {big} exceeds the exact-int64 bound "
+                f"{i64_bound} for dim={dim}; lower the quantization scale"
+            )
+        d = sq_i[None, :] - 2 * (m_i @ mat_i.T)  # exact int64
         return pd.Series(ids[d.argmin(axis=1)])
 
     assign = F.pandas_udf(_argmin, LongType())

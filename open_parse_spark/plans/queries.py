@@ -1387,7 +1387,7 @@ WITH t AS (
            'https?://[A-Za-z0-9._~:/?#@!$&''()*+,;=%-]*[A-Za-z0-9_~/#=&%-]')) AS url
   FROM t
 )
-SELECT lower(regexp_extract(url, 'https?://([A-Za-z0-9-]+(\\.[A-Za-z0-9-]+)*)', 1)) AS domain,
+SELECT lower(regexp_extract(url, 'https?://(?:[^/@]*@)?([A-Za-z0-9-]+(\\.[A-Za-z0-9-]+)*)', 1)) AS domain,
        count(*)::BIGINT AS n_urls,
        count(DISTINCT doc_id)::BIGINT AS n_docs
 FROM u GROUP BY 1

@@ -38,6 +38,13 @@ def stage(df: DataFrame, eager: bool = True) -> DataFrame:
     global _warned
     spark = df.sparkSession
     mode = spark.conf.get("spark.open_parse.stage", "auto")
+    if mode not in ("local", "reliable", "auto"):
+        # a typo ('relaible') must not silently run the cluster-auto path —
+        # the module's whole stance is that misconfiguration fails loudly
+        raise ValueError(
+            f"spark.open_parse.stage={mode!r}: expected one of "
+            "'local', 'reliable', 'auto'"
+        )
     if mode == "local":
         return df.localCheckpoint(eager=eager)
     try:

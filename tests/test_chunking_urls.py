@@ -72,6 +72,8 @@ HOSTILE_URLS = [
     "trailing dot https://dot.com/path. and comma https://c.om/p, done",
     "no scheme www.nope.com ftp://also.no",
     "uppercase HTTPS://UPPER.COM/X is not matched (case-exact scheme)",
+    "userinfo https://user@host.com/x and http://u:pw@sec.org/y done",
+    "path-side at https://site.com/a@b must still key on the host",
 ]
 
 
@@ -113,6 +115,11 @@ def test_url_dialect_parity_spark_vs_duckdb(spark):
         assert u.startswith(("http://", "https://"))
     assert got[(1, 0)][1] == "example.com"
     assert all(k[0] != 6 and k[0] != 7 for k in got), "scheme must be exact-case http(s)"
+    # userinfo URLs key on the HOST, not the user part (ADVICE r3 finding);
+    # a path-side '@' must not re-trigger the userinfo skip
+    assert got[(8, 0)][1] == "host.com", got[(8, 0)]
+    assert got[(8, 1)][1] == "sec.org", got[(8, 1)]
+    assert got[(9, 0)][1] == "site.com", got[(9, 0)]
 
 
 def test_rag_index_composition(spark):

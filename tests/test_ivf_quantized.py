@@ -122,3 +122,51 @@ def test_empty_corpus_quantized(spark):
     empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
     assert kmeans_centroids_quantized(empty, k=4).count() == 0
     assert ivf_topk_quantized(empty, empty, k=3).count() == 0
+
+
+def test_assign_large_magnitude_exact_int_fallback(spark):
+    """Beyond the dgemm-exactness bound |q| <= sqrt(2^53/dim) the float path
+    ROUNDS: for this crafted dim=1 triple the float64 argmin picks centroid
+    1 while the exact integer distance says centroid 2 (v == c2, distance
+    0).  The assigner must detect the magnitude and take the exact int64
+    path (ADVICE r3: the old '|x| <= 67 implies partial sums < 2^53' claim
+    was wrong for dim >= 3)."""
+    from open_parse_spark.operators.similarity import _assign_to_centroids_int
+
+    v, c1, c2 = 149999980, 149999979, 149999980
+    # sanity: the float plan really does flip on this triple
+    mat = np.array([[c1], [c2]], dtype=np.float64)
+    sq = (mat * mat).sum(axis=1)
+    d = sq[None, :] - 2.0 * (np.array([[v]], dtype=np.float64) @ mat.T)
+    assert int(d.argmin(axis=1)[0]) == 0, "search premise broke"
+
+    c = spark.createDataFrame([(10, [v])], "id long, vq array<long>")
+    cents = spark.createDataFrame(
+        [(1, [c1]), (2, [c2])], "centroid_id long, cq array<long>"
+    )
+    got = _assign_to_centroids_int(c, cents).first()
+    assert got["centroid_id"] == 2, got
+
+    # in-bound vectors still take the fast path and agree with brute force
+    c_small = spark.createDataFrame(
+        [(i, [int(x) for x in row])
+         for i, row in enumerate(np.random.RandomState(3).randint(-67_000_000, 67_000_000, (20, 4)))],
+        "id long, vq array<long>",
+    )
+    # keep magnitudes inside sqrt(2^53/4) ~ 47.4e6: halve them
+    c_small = c_small.select(
+        "id", F.transform("vq", lambda x: (x / F.lit(2)).cast("long")).alias("vq")
+    )
+    cents4 = spark.createDataFrame(
+        [(j, [int(x) for x in row])
+         for j, row in enumerate(np.random.RandomState(4).randint(-40_000_000, 40_000_000, (3, 4)), start=1)],
+        "centroid_id long, cq array<long>",
+    )
+    got_rows = {r["id"]: r["centroid_id"] for r in _assign_to_centroids_int(c_small, cents4).collect()}
+    cent_py = sorted(
+        [(r["centroid_id"], r["cq"]) for r in cents4.collect()]
+    )
+    for r in c_small.collect():
+        dists = [(sum((a - b) ** 2 for a, b in zip(r["vq"], cq)), cid) for cid, cq in cent_py]
+        want = min(dists)[1]
+        assert got_rows[r["id"]] == want

@@ -42,3 +42,14 @@ def test_forced_local_mode(spark):
         assert stage(spark.range(5), eager=False).count() == 5
     finally:
         spark.conf.unset("spark.open_parse.stage")
+
+
+def test_unknown_mode_raises(spark):
+    """A typo ('relaible') must fail loudly, not silently run the
+    cluster-auto fallback (ADVICE r3)."""
+    spark.conf.set("spark.open_parse.stage", "relaible")
+    try:
+        with pytest.raises(ValueError, match="relaible"):
+            stage(spark.range(3))
+    finally:
+        spark.conf.unset("spark.open_parse.stage")
