@@ -69,3 +69,18 @@ def test_no_cartesian_products_anywhere(spark):
             continue
         plan = _plan(fn(spark, SF))
         assert "CartesianProduct" not in plan, name
+
+
+def test_lsh_topk_dedup_exchange_carries_ids_only(spark):
+    """The candidate (query_id, neighbor_id) distinct must run BEFORE the
+    vectors join back: at a fat embedding dim, a dedup exchange still
+    carrying qv/cv ships avoidable array payloads (VERDICT r3)."""
+    import re
+
+    from open_parse_spark.operators.similarity import lsh_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = _plan(lsh_topk(emb, emb.where(F.col("vec_id") < 5), k=3))
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line and "neighbor_id" in line:
+            assert not re.search(r"\b[qc]v\b", line), line
