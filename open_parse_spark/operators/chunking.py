@@ -39,10 +39,14 @@ def chunk_documents(
     ``words()`` tokenization: lowercased ``[A-Za-z0-9]+`` runs) — case,
     punctuation and whitespace structure are not preserved.  That is
     deliberate: it is the normalization most embedding front-ends apply
-    anyway, and it keeps every value cross-engine checkable.  A consumer
-    needing retrievable source passages should carry ``(doc_id, chunk_idx,
-    span)`` back to the source text instead of using ``chunk_text`` as the
-    display form.
+    anyway, and it keeps every value cross-engine checkable.  For verbatim
+    passages, ``span_start``/``span_end`` are 0-based char offsets into the
+    SOURCE text: ``text[span_start:span_end]`` runs from the first char of
+    the chunk's first word to the last char of its last word (VERDICT r3 —
+    consumers no longer re-derive spans).  Offsets are computed JVM-side
+    from the separator split of the same word regex; cost is
+    O(words-before-chunk) per chunk (O(n^2/stride) per doc), negligible at
+    the window sizes embedding budgets use.
 
     ``emit_words=True`` adds the sliced word ARRAY as ``chunk_words`` so a
     downstream explode (the rag_index embedding stage) feeds off the array
@@ -60,13 +64,20 @@ def chunk_documents(
     sized = df.select(
         F.col(id_col).alias("doc_id"),
         words(F.col(text_col)).alias("ws"),
+        # separators of the SAME regex: text = sep[0] w1 sep[1] ... wn sep[n]
+        # (len(seps) == n+1 always), so char offsets fall out of lengths —
+        # no second tokenizer, no Python
+        F.split(F.col(text_col), r"[A-Za-z0-9]+", -1).alias("seps"),
     ).select(
         "doc_id",
         "ws",
+        "seps",
         F.size("ws").alias("n"),
     ).where(F.col("n") > 0).select(
         "doc_id",
         "ws",
+        "seps",
+        "n",
         # exact integer ceil-div, replayed verbatim by the oracle
         F.when(
             F.col("n") > overlap,
@@ -75,24 +86,48 @@ def chunk_documents(
         .otherwise(F.lit(1))
         .alias("n_chunks"),
     )
+
+    def _prefix(k):
+        # chars consumed by sep[0] + (w1 sep[1]) + ... + (wk sep[k]):
+        # the 0-based offset where word k+1 starts
+        return F.length(F.element_at("seps", 1)) + F.aggregate(
+            F.zip_with(
+                F.slice("ws", 1, k),
+                F.slice("seps", 2, k),
+                lambda w, s: F.length(w) + F.length(s),
+            ),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        )
+
+    a = (F.col("ci") * stride).cast("int")  # words before this chunk
+    e = F.least(a + window, F.col("n")).cast("int")  # last word index
     sliced = sized.select(
         "doc_id",
         F.explode(F.sequence(F.lit(0), (F.col("n_chunks") - 1).cast("int"))).alias(
             "ci"
         ),
         "ws",
+        "seps",
+        "n",
     ).select(
         "doc_id",
         F.col("ci").cast("long").alias("chunk_idx"),
         F.slice(
             F.col("ws"), (F.col("ci") * stride + 1).cast("int"), window
         ).alias("cws"),
+        _prefix(a).cast("long").alias("span_start"),
+        (_prefix(e) - F.length(F.element_at("seps", e + 1))).cast("long").alias(
+            "span_end"
+        ),
     )
     cols = [
         "doc_id",
         "chunk_idx",
         F.size("cws").cast("long").alias("n_words"),
         F.array_join(F.col("cws"), " ").alias("chunk_text"),
+        "span_start",
+        "span_end",
     ]
     if emit_words:
         cols.append(F.col("cws").alias("chunk_words"))

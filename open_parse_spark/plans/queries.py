@@ -1196,25 +1196,43 @@ _CHUNK_STRIDE = CHUNK_W - CHUNK_OV
 
 def _chunk_ctes(window: int = CHUNK_W, overlap: int = CHUNK_OV) -> str:
     """The DuckDB replay of ``chunk_documents`` as chained CTEs ending in
-    ``chunks(doc_id, chunk_idx, n_words, cws)``."""
+    ``chunks(doc_id, chunk_idx, n_words, cws, span_start, span_end)``.
+
+    Span replay: with ``seps`` the separator split of the same word regex
+    (``text = seps[1] w1 seps[2] ... wn seps[n+1]``),
+    ``span_start = sum(len(seps[1..a+1])) + sum(len(ws[1..a]))`` for ``a``
+    words before the chunk, and ``span_end`` is the same sum at the chunk's
+    last word index ``e`` WITHOUT ``seps[e+1]`` — byte-for-byte the Spark
+    arithmetic."""
     stride = window - overlap
     return f"""w AS (
   SELECT doc_id,
-         list_transform(regexp_extract_all(text, '[A-Za-z0-9]+'), x -> lower(x)) AS ws
+         list_transform(regexp_extract_all(text, '[A-Za-z0-9]+'), x -> lower(x)) AS ws,
+         regexp_split_to_array(text, '[A-Za-z0-9]+') AS seps
   FROM documents
 ), sized AS (
-  SELECT doc_id, ws, len(ws) AS n,
+  SELECT doc_id, ws, seps, len(ws) AS n,
          CASE WHEN len(ws) > {overlap}
               THEN (len(ws) - {overlap} + {stride - 1}) // {stride}
               ELSE 1 END AS n_chunks
   FROM w WHERE len(ws) > 0
 ), idx AS (
-  SELECT doc_id, ws, unnest(range(0, n_chunks))::BIGINT AS chunk_idx FROM sized
+  SELECT doc_id, ws, seps, n, unnest(range(0, n_chunks))::BIGINT AS chunk_idx
+  FROM sized
+), spanned AS (
+  SELECT doc_id, ws, seps, chunk_idx,
+         (chunk_idx*{stride})::BIGINT AS a,
+         least(chunk_idx*{stride} + {window}, n)::BIGINT AS e
+  FROM idx
 ), chunks AS (
   SELECT doc_id, chunk_idx,
-         len(list_slice(ws, chunk_idx*{stride} + 1, chunk_idx*{stride} + {window}))::BIGINT AS n_words,
-         list_slice(ws, chunk_idx*{stride} + 1, chunk_idx*{stride} + {window}) AS cws
-  FROM idx
+         len(list_slice(ws, a + 1, a + {window}))::BIGINT AS n_words,
+         list_slice(ws, a + 1, a + {window}) AS cws,
+         (coalesce(list_sum(list_transform(list_slice(seps, 1, a + 1), s -> length(s))), 0)
+          + coalesce(list_sum(list_transform(list_slice(ws, 1, a), x -> length(x))), 0))::BIGINT AS span_start,
+         (coalesce(list_sum(list_transform(list_slice(seps, 1, e), s -> length(s))), 0)
+          + coalesce(list_sum(list_transform(list_slice(ws, 1, e), x -> length(x))), 0))::BIGINT AS span_end
+  FROM spanned
 )"""
 
 
@@ -1229,7 +1247,8 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_DOC_CHUNKS = f"""
 WITH {_chunk_ctes()}
-SELECT doc_id, chunk_idx, n_words, array_to_string(cws, ' ') AS chunk_text
+SELECT doc_id, chunk_idx, n_words, array_to_string(cws, ' ') AS chunk_text,
+       span_start, span_end
 FROM chunks
 """
 

@@ -252,3 +252,39 @@ def test_chunk_merge_non_default_id_col(spark):
     )
     out = merge_chunks_semantic(df, window=8, overlap=2, id_col="page_id").collect()
     assert len(out) == 1 and out[0]["doc_id"] == 7 and out[0]["n_words"] == 8
+
+
+def test_chunk_span_offsets_recover_source(spark):
+    """span_start/span_end are 0-based char offsets into the SOURCE text
+    (VERDICT r3): the substring runs exactly from the first char of the
+    chunk's first word to the last char of its last word, so re-tokenizing
+    it yields the chunk's word list verbatim — on punctuation-heavy,
+    unicode-separated and leading/trailing-junk docs."""
+    import re
+
+    rows = [
+        (1, "  ...Hello, WORLD!  (this)   is--a test;  café naïve 'end'.  "),
+        (2, "a" * 30 + " " + "b2b " * 40 + "tail"),
+        (3, "söz1ötesi words held apart by ünïcode séparators okay"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    src = dict(rows)
+    out = chunk_documents(df, window=5, overlap=2).collect()
+    assert out, "no chunks"
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r["chunk_idx"])
+        prev_start = -1
+        for r in chunks:
+            sub = src[doc_id][r["span_start"] : r["span_end"]]
+            # word-char boundaries on both ends
+            assert re.match(r"[A-Za-z0-9]", sub[0]), (doc_id, sub)
+            assert re.match(r"[A-Za-z0-9]", sub[-1]), (doc_id, sub)
+            # re-tokenizing the substring gives the chunk words verbatim
+            got_words = [w.lower() for w in re.findall(r"[A-Za-z0-9]+", sub)]
+            assert got_words == r["chunk_text"].split(" "), (doc_id, sub)
+            # spans walk forward with the stride
+            assert r["span_start"] > prev_start
+            prev_start = r["span_start"]
