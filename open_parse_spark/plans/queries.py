@@ -1574,6 +1574,126 @@ def q_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extraction_metrics(nodes)
 
 
+_CONV_SQL_BASE = """
+  SELECT 'conv-' || lpad((doc_id % 64)::VARCHAR, 6, '0') AS conv_id,
+         (doc_id // 64)::INT AS turn_idx,
+         CASE ((doc_id // 64) % 3) WHEN 0 THEN 'user'
+                                   WHEN 1 THEN 'assistant'
+                                   ELSE 'tool' END AS role,
+         text
+  FROM documents
+"""
+
+
+def q_parse_metrics_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Invariant twin for ``parse_metrics`` (VERDICT r3 item 6): per-conv
+    consistency between two INDEPENDENTLY-SHAPED aggregations of the parse
+    output — ``parse_quality_metrics`` (flat groupBy) vs
+    ``conversation_assembly`` (collect_list assembly) — plus a bound from
+    the SQL-derivable transcript base.  The oracle states the invariant per
+    conversation; any bookkeeping regression (lost error rows, token drift,
+    double-counted turns) flips a flag and hash-mismatches."""
+    from open_parse_spark.operators.conversations import conversation_assembly
+    from open_parse_spark.spark.pipeline import parse_quality_metrics
+
+    transcripts = documents_as_transcripts(_tbl(spark, sf_dir, "documents"))
+    nodes = parse_transcripts(
+        transcripts,
+        repartition_for_skew=False,
+        output_columns=["conv_id", "turn_idx", "node_idx", "text", "tokens"],
+    )
+    m = parse_quality_metrics(nodes).select(
+        "conv_id",
+        F.col("turns").alias("m_turns"),
+        F.col("nodes").alias("m_nodes"),
+        F.col("parse_errors").alias("m_errors"),
+        F.col("tokens").alias("m_tokens"),
+    )
+    a = conversation_assembly(nodes).select(
+        "conv_id",
+        F.col("n_turns").alias("a_turns"),
+        F.col("n_nodes").alias("a_rows"),
+        F.col("tokens").alias("a_tokens"),
+    )
+    base = transcripts.groupBy("conv_id").agg(
+        F.count_distinct("turn_idx").alias("t_turns")
+    )
+    checked = m.join(a, "conv_id").join(base, "conv_id").select(
+        "conv_id",
+        # assembly keeps error rows too: content + error rows == all rows
+        (F.col("m_nodes") + F.col("m_errors") == F.col("a_rows")).alias(
+            "counts_consistent"
+        ),
+        (F.col("m_tokens").eqNullSafe(F.col("a_tokens"))).alias(
+            "tokens_consistent"
+        ),
+        (F.col("m_turns") == F.col("a_turns")).alias("turns_match"),
+        # no conv can emit more parsed turns than the transcript base holds
+        (F.col("m_turns") <= F.col("t_turns")).alias("turns_bounded"),
+    )
+    flags = ["counts_consistent", "tokens_consistent", "turns_match", "turns_bounded"]
+    convs = transcripts.select("conv_id").distinct()
+    # all-zero-node conversations satisfy the invariants vacuously
+    return convs.join(checked, "conv_id", "left").select(
+        "conv_id", *[F.coalesce(F.col(c), F.lit(True)).alias(c) for c in flags]
+    )
+
+
+SQL_PARSE_METRICS_CHECK = f"""
+WITH t AS (
+{_CONV_SQL_BASE}
+)
+SELECT DISTINCT conv_id,
+       true AS counts_consistent, true AS tokens_consistent,
+       true AS turns_match, true AS turns_bounded
+FROM t
+"""
+
+
+def q_eval_metrics_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Invariant twin for ``eval_metrics``: the corpus-level extraction
+    summary must agree with the per-conversation metrics rolled up — same
+    parse output, two independent aggregation paths (per-(conv,turn) wide
+    agg vs per-conv flat agg).  One row of booleans; the oracle states the
+    expected constants."""
+    from open_parse_spark.plans.evals import extraction_metrics
+    from open_parse_spark.spark.pipeline import parse_quality_metrics
+
+    transcripts = documents_as_transcripts(_tbl(spark, sf_dir, "documents"))
+    nodes = parse_transcripts(
+        transcripts,
+        repartition_for_skew=False,
+        output_columns=["conv_id", "turn_idx", "node_idx", "tokens"],
+    )
+    e = extraction_metrics(nodes)
+    rollup = parse_quality_metrics(nodes).agg(
+        F.sum("turns").alias("m_turns"),
+        F.sum("nodes").alias("m_nodes"),
+        F.sum("parse_errors").alias("m_errors"),
+        F.sum("tokens").alias("m_tokens"),
+    )
+    return e.join(F.broadcast(rollup)).select(
+        (F.col("turns") == F.col("m_turns")).alias("turns_match"),
+        (F.col("nodes") == F.col("m_nodes")).alias("nodes_match"),
+        (F.col("parse_errors") == F.col("m_errors")).alias("errors_match"),
+        (F.col("tokens").eqNullSafe(F.col("m_tokens"))).alias("tokens_match"),
+        (F.col("p50_nodes_per_turn") <= F.col("p99_nodes_per_turn")).alias(
+            "percentiles_ordered"
+        ),
+        # every only-error turn contributes >= 1 error row
+        (F.col("turns_with_only_errors") <= F.col("parse_errors")).alias(
+            "only_error_turns_bounded"
+        ),
+    )
+
+
+SQL_EVAL_METRICS_CHECK = """
+SELECT true AS turns_match, true AS nodes_match, true AS errors_match,
+       true AS tokens_match, true AS percentiles_ordered,
+       true AS only_error_turns_bounded
+"""
+
+
 def q_eval_variant_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from open_parse_spark.plans.evals import variant_mix
 
@@ -1601,17 +1721,6 @@ def q_conversation_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # SQL-checked conversation ops over the deterministic documents->transcripts
 # derivation (conv_id = 'conv-' || lpad(doc_id % 64), turn_idx = doc_id/64)
-
-_CONV_SQL_BASE = """
-  SELECT 'conv-' || lpad((doc_id % 64)::VARCHAR, 6, '0') AS conv_id,
-         (doc_id // 64)::INT AS turn_idx,
-         CASE ((doc_id // 64) % 3) WHEN 0 THEN 'user'
-                                   WHEN 1 THEN 'assistant'
-                                   ELSE 'tool' END AS role,
-         text
-  FROM documents
-"""
-
 
 def q_conv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from open_parse_spark.operators.conversations import conversation_stats
@@ -2707,6 +2816,11 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "training_samples": (q_training_samples, SQL_TRAINING_SAMPLES),
     "eval_metrics": (q_eval_metrics, None),
     "eval_variant_mix": (q_eval_variant_mix, None),
+    # invariant-checked twins for the two metrics queries (VERDICT r3 #6):
+    # the greedy parse itself stays rows-only, but its aggregate bookkeeping
+    # is cross-checked via two independent aggregation paths
+    "parse_metrics_check": (q_parse_metrics_check, SQL_PARSE_METRICS_CHECK),
+    "eval_metrics_check": (q_eval_metrics_check, SQL_EVAL_METRICS_CHECK),
     # SQL-checked
     "op_remove_repeated": (q_op_remove_repeated, SQL_OP_REMOVE_REPEATED),
     "op_remove_below_tokens": (q_op_remove_below_tokens, SQL_OP_REMOVE_BELOW_TOKENS),

@@ -71,3 +71,38 @@ def test_outlier_turns_flags_errors_and_giants(spark, nodes):
     )
     flagged = outlier_turns(err).collect()
     assert len(flagged) == 1 and flagged[0]["flag"] == "parse_error"
+
+
+def test_metrics_check_twins_true_and_falsifiable(spark, monkeypatch):
+    """The parse_metrics_check / eval_metrics_check invariant twins
+    (VERDICT r3 #6) must (a) hold on real data and (b) actually FLIP when
+    the bookkeeping regresses — otherwise the oracle's all-true expectation
+    is vacuous."""
+    import open_parse_spark.spark.pipeline as P
+    from open_parse_spark.plans.queries import (
+        q_eval_metrics_check,
+        q_parse_metrics_check,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = q_parse_metrics_check(spark, sf).collect()
+    assert len(rows) == 64
+    flags = ["counts_consistent", "tokens_consistent", "turns_match", "turns_bounded"]
+    assert all(r[c] for r in rows for c in flags)
+    (erow,) = q_eval_metrics_check(spark, sf).collect()
+    assert all(erow[c] for c in erow.asDict())
+
+    # regression injection: metrics that over-count nodes by 1 per conv
+    real = P.parse_quality_metrics
+
+    def broken(nodes):
+        from pyspark.sql import functions as F
+
+        return real(nodes).withColumn("nodes", F.col("nodes") + 1)
+
+    monkeypatch.setattr(P, "parse_quality_metrics", broken)
+    bad = q_parse_metrics_check(spark, sf).collect()
+    n_false = sum(1 for r in bad if not r["counts_consistent"])
+    assert n_false > 0, "counts_consistent never flipped under a broken rollup"
+    (ebad,) = q_eval_metrics_check(spark, sf).collect()
+    assert not ebad["nodes_match"]
