@@ -2872,9 +2872,108 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
 }
 
 
+# ---------------------------------------------------------------------------
+# Driver correctness window (VERDICT r3 item 2).
+#
+# The driver's CORRECTNESS_r{N}.json snapshot records at most 50 queries, in
+# ``queries()`` iteration order.  Which 50 is therefore a DECISION, not an
+# accident: ``CORRECTNESS_WINDOW`` pins it.  Policy (documented in
+# COVERAGE.md "Correctness-window policy"):
+#
+# - every operator family keeps >= 1 hash-checked representative in-window;
+# - rows-only entries whose content is hash-checked elsewhere leave the
+#   window first (parse_metrics -> parse_metrics_check, export_relations ->
+#   export_relations_check, conversation_assembly ->
+#   conv_transcript_assembly, ...), keeping ``parse_flagship`` as the one
+#   rows-only flagship the driver smoke-checks;
+# - P-step op_* micro-analogs leave next (their real implementations are
+#   pinned by byte goldens + the independent reference differential;
+#   op_spatial_anti_join and op_lead_neighbor stay as the two SQL-checked
+#   transform representatives);
+# - redundant same-family stats variants leave last.
+#
+# Out-of-window queries remain fully registered and green — the local gate
+# (`tools/check_oracles.py`, run at every round close) covers them; only the
+# driver snapshot omits them.
+CORRECTNESS_WINDOW = [
+    # flagship (rows-only by design: greedy parse)
+    "parse_flagship",
+    # metrics invariant twins (new r4)
+    "parse_metrics_check",
+    "eval_metrics_check",
+    # transform analogs (2 representatives)
+    "op_spatial_anti_join",
+    "op_lead_neighbor",
+    # dedup family
+    "dedup_exact",
+    "dedup_fingerprint",
+    "dedup_minhash",
+    "dedup_simhash",
+    "dedup_winnow",
+    "dedup_components",
+    "dedup_cluster_rep",
+    "dup_spans",
+    "neardup_jaccard",
+    "decontaminate",
+    "boilerplate_lines",
+    # similarity / ANN
+    "ann_cosine_topk",
+    "ann_lsh",
+    "ann_ivf",
+    "ann_recall",
+    "ann_recall_lsh",
+    "neardup_cosine",
+    # chunking / RAG
+    "doc_chunks",
+    "chunk_merge",
+    "rag_index",
+    # text analysis / curation
+    "text_quality",
+    "lang_id",
+    "pii_scrub",
+    "tfidf_top_terms",
+    "url_domains",
+    "quality_gopher",
+    "quality_repetition",
+    "quality_classifier",
+    "training_samples",
+    "training_corpus_clean",
+    "training_pipeline_full",
+    "doc_split",
+    "pack_sequences",
+    "sample_stratified",
+    # events
+    "events_hourly",
+    "events_sessionize",
+    "events_asof_join",
+    # conversations
+    "conv_transcript_assembly",
+    "conv_dedup",
+    "conv_role_stats",
+    "export_relations_check",
+    # multimodal
+    "multimodal_features",
+    "multimodal_meta",
+    # html
+    "html_extract",
+    "html_blocks",
+]
+assert len(CORRECTNESS_WINDOW) == 50, len(CORRECTNESS_WINDOW)
+
+
+def _window_ordered(names):
+    in_window = [n for n in CORRECTNESS_WINDOW if n in names]
+    rest = [n for n in names if n not in set(CORRECTNESS_WINDOW)]
+    return in_window + rest
+
+
 def queries() -> Dict[str, QueryFn]:
-    return {name: fn for name, (fn, _sql) in REGISTRY.items()}
+    return {name: REGISTRY[name][0] for name in _window_ordered(list(REGISTRY))}
 
 
 def oracle_sql() -> Dict[str, str]:
-    return {name: sql for name, (_fn, sql) in REGISTRY.items() if sql is not None}
+    return {
+        name: REGISTRY[name][1]
+        for name in _window_ordered(list(REGISTRY))
+        if REGISTRY[name][1] is not None
+    }
