@@ -475,3 +475,74 @@ def test_streaming_rag_index_replay_idempotent(spark, tmp_path):
     assert again == first, f"replay duplicated rows: {first} -> {again}"
     keys = spark.read.parquet(out).select("doc_id", "chunk_idx").collect()
     assert len(keys) == len({(r["doc_id"], r["chunk_idx"]) for r in keys})
+
+
+@pytest.mark.slow
+def test_streaming_rag_index_kill_and_resume(spark, tmp_path):
+    """Kill the index build MID-STREAM (not just replay a finished epoch):
+    stop the query after the first micro-batch commits, restart from the
+    same checkpoint, and the served index must equal the single-shot batch
+    build — no dropped epochs, no duplicate rows from the interrupted one
+    (VERDICT r3 item 8)."""
+    import time
+
+    import duckdb
+
+    from open_parse_spark.operators.chunking import rag_index_table
+    from open_parse_spark.streaming.jobs import streaming_rag_index
+
+    d = tmp_path / "docs"
+    d.mkdir()
+    con = duckdb.connect()
+    for f in range(4):
+        con.execute(
+            f"""COPY (SELECT i AS doc_id,
+                 'doc ' || i::VARCHAR || ' ' || repeat('kw' || (i % 7)::VARCHAR || ' ', 18) AS text,
+                 'en' AS lang, 's' AS source, 1::BIGINT AS n_chars
+               FROM generate_series({f * 12}, {f * 12 + 11}) t(i))
+               TO '{d / f"f{f}.parquet"}' (FORMAT PARQUET)"""
+        )
+    out = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+
+    q = streaming_rag_index(
+        spark, str(d), out, ckpt, window=8, overlap=2, max_files_per_trigger=1
+    )
+    # kill after the first batch commits but (typically) before the stream
+    # drains — q.stop() interrupts whatever batch is in flight
+    deadline = time.monotonic() + 120
+    while time.monotonic() < deadline:
+        p = q.lastProgress
+        if p is not None and p["batchId"] >= 1:
+            break
+        time.sleep(0.2)
+    q.stop()
+    q.awaitTermination(60)
+    interrupted = spark.read.parquet(out).count()
+
+    # resume from the same checkpoint; availableNow drains the rest
+    q2 = streaming_rag_index(
+        spark, str(d), out, ckpt, window=8, overlap=2, max_files_per_trigger=1
+    )
+    q2.awaitTermination(120)
+
+    got = {
+        (r["doc_id"], r["chunk_idx"]): (r["n_words"], r["bucket"])
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        (r["doc_id"], r["chunk_idx"]): (r["n_words"], r["bucket"])
+        for r in rag_index_table(
+            spark.read.parquet(str(d)), window=8, overlap=2
+        ).collect()
+    }
+    assert got == want, {
+        "missing": set(want) - set(got), "extra": set(got) - set(want),
+    }
+    assert len(got) > 40
+    # duplicate guard: parquet rows == distinct (doc, chunk) keys
+    assert spark.read.parquet(out).count() == len(got)
+    # the kill normally lands mid-stream (fewer rows served than the end);
+    # on a fast box the stream may drain first — then this degrades to a
+    # restart-after-completion no-op check, which must also hold
+    assert interrupted <= len(got), (interrupted, len(got))
