@@ -25,7 +25,6 @@ Equality-critical details preserved (see SURVEY.md §4.3):
 from __future__ import annotations
 
 import re
-from dataclasses import dataclass
 from typing import Dict, List, Optional, Sequence, Tuple
 
 from open_parse_spark.core.tokens import num_tokens
@@ -93,17 +92,43 @@ def clean_markdown_formatting(text: str) -> str:
     return text
 
 
-@dataclass(frozen=True)
 class Bbox:
-    """Reference: schemas.py:27-67 (bottom-left coordinates, consts.py:5)."""
+    """Reference: schemas.py:27-67 (bottom-left coordinates, consts.py:5).
 
-    page: int
-    page_height: float
-    page_width: float
-    x0: float
-    y0: float
-    x1: float
-    y1: float
+    Plain __slots__ class, not a frozen dataclass: construction sits in the
+    per-element decode/merge hot path and object.__setattr__-based frozen
+    init measured ~4x slower (treated as immutable by convention; eq/hash
+    match the old dataclass semantics)."""
+
+    __slots__ = ("page", "page_height", "page_width", "x0", "y0", "x1", "y1")
+
+    def __init__(self, page, page_height, page_width, x0, y0, x1, y1):
+        self.page = page
+        self.page_height = page_height
+        self.page_width = page_width
+        self.x0 = x0
+        self.y0 = y0
+        self.x1 = x1
+        self.y1 = y1
+
+    def _key(self):
+        return (
+            self.page, self.page_height, self.page_width,
+            self.x0, self.y0, self.x1, self.y1,
+        )
+
+    def __eq__(self, other):
+        return isinstance(other, Bbox) and self._key() == other._key()
+
+    def __hash__(self):
+        return hash(self._key())
+
+    def __repr__(self):
+        return (
+            f"Bbox(page={self.page!r}, page_height={self.page_height!r}, "
+            f"page_width={self.page_width!r}, x0={self.x0!r}, y0={self.y0!r}, "
+            f"x1={self.x1!r}, y1={self.y1!r})"
+        )
 
     @property
     def area(self) -> float:
@@ -123,14 +148,35 @@ class Bbox:
         )
 
 
-@dataclass(frozen=True)
 class TextSpan:
-    """Reference: schemas.py:75-108."""
+    """Reference: schemas.py:75-108.  Slots class for the same hot-path
+    construction reason as :class:`Bbox`."""
 
-    text: str
-    is_bold: bool
-    is_italic: bool
-    size: float
+    __slots__ = ("text", "is_bold", "is_italic", "size")
+
+    def __init__(self, text, is_bold, is_italic, size):
+        self.text = text
+        self.is_bold = is_bold
+        self.is_italic = is_italic
+        self.size = size
+
+    def __eq__(self, other):
+        return (
+            isinstance(other, TextSpan)
+            and self.text == other.text
+            and self.is_bold == other.is_bold
+            and self.is_italic == other.is_italic
+            and self.size == other.size
+        )
+
+    def __hash__(self):
+        return hash((self.text, self.is_bold, self.is_italic, self.size))
+
+    def __repr__(self):
+        return (
+            f"TextSpan(text={self.text!r}, is_bold={self.is_bold!r}, "
+            f"is_italic={self.is_italic!r}, size={self.size!r})"
+        )
 
     @property
     def is_heading(self) -> bool:
@@ -160,8 +206,9 @@ class LineElement:
     __slots__ = ("bbox", "spans", "_text")
 
     def __init__(self, bbox: Sequence[float], spans: Sequence[TextSpan]):
-        self.bbox: Tuple[float, float, float, float] = tuple(
-            round(v, 2) for v in bbox
+        b0, b1, b2, b3 = bbox
+        self.bbox: Tuple[float, float, float, float] = (
+            round(b0, 2), round(b1, 2), round(b2, 2), round(b3, 2),
         )  # schemas.py:116-119
         self.spans: Tuple[TextSpan, ...] = tuple(spans)
         self._text: Optional[str] = None

@@ -101,7 +101,7 @@ def _decode_page_elements(page_obj: Dict[str, Any]) -> List[Element]:
                 x0, y0, x1, y1 = get_lines_bbox(lines)
             out.append(
                 TextElement(
-                    text="\n".join(line.text for line in lines),
+                    text="\n".join([line.text for line in lines]),
                     lines=tuple(lines),
                     bbox=Bbox(
                         page=page,
@@ -131,7 +131,7 @@ def _decode_page_elements(page_obj: Dict[str, Any]) -> List[Element]:
                 x0, y0, x1, y1 = get_lines_bbox(lines)
             out.append(
                 TextElement(
-                    text="\n".join(line.text for line in lines),
+                    text="\n".join([line.text for line in lines]),
                     lines=tuple(lines),
                     bbox=Bbox(
                         page=page,
