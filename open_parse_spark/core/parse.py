@@ -23,6 +23,12 @@ from open_parse_spark.core.transforms import (
     run_pipeline,
 )
 
+# Built once per process: every transform closure is stateless (all mutable
+# structures live inside each ``process(...)`` invocation), so the default
+# pipeline is safely shared across turns instead of re-creating 12 closures
+# per parse_turn call.
+_DEFAULT_TRANSFORMS: List[Transform] = basic_pipeline_transforms()
+
 
 def parse_turn(
     text: Optional[str],
@@ -33,7 +39,7 @@ def parse_turn(
     elements = decode_payload(text, tool)
     nodes = elements_to_nodes(elements)
     if transforms is None:
-        transforms = basic_pipeline_transforms()
+        transforms = _DEFAULT_TRANSFORMS
     return run_pipeline(nodes, transforms)
 
 
