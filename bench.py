@@ -35,7 +35,9 @@ BENCH_FILES = int(os.environ.get("BENCH_FILES", "32"))
 # back to ~11.7 s and 2->8 measured 0.77-0.80 again; at 400k the 8-core wall
 # is ~22 s and 2->8 measures 0.87-0.99.  The part-5 merge/token speedups
 # (~+15% per core) shrank it again -> 500k keeps the fast leg >= ~20 s.
-BENCH_CONVS = int(os.environ.get("BENCH_CONVS", "10000"))
+# Round-4 slots/pipeline-reuse speedups (+8% per core) put the 8-core wall
+# at ~17.8 s -> 625k turns restores the >= 20 s margin.
+BENCH_CONVS = int(os.environ.get("BENCH_CONVS", "12500"))
 BENCH_AVG_TURNS = int(os.environ.get("BENCH_AVG_TURNS", "50"))
 
 

@@ -738,3 +738,100 @@ def duplicate_spans(
         )
         .select("doc_id", "span_start", "span_end", "n_dup_grams")
     )
+
+
+def bloom_decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    m: int = 1 << 20,
+    k: int = 4,
+    n: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Bloom-filter benchmark decontamination — the constant-memory scale
+    path for :func:`ngram_contamination`.
+
+    ``ngram_contamination`` broadcasts the benchmark's distinct gram
+    STRINGS; at a large benchmark suite that broadcast grows with text
+    size.  Here the benchmark is compressed to a classic Bloom filter of
+    ``m`` bits with ``k`` double-hashed probes (Kirsch-Mitzenmacher: two
+    base hashes derived from ONE md5, position_i = (h1 + i*h2) mod m), and
+    only the distinct SET-BIT positions — at most ``min(k * |grams|, m)``
+    longs, bounded by ``m`` regardless of benchmark size — are broadcast.
+    A training gram is flagged iff all ``k`` of its positions are set:
+    every truly-shared gram is flagged (no false negatives), and position
+    collisions add a tunable false-positive rate (~(1-e^(-kn/m))^k).
+
+    The whole chain is integer arithmetic over the oracle-reproducible
+    60-bit md5 hash, so a SQL engine replays EXACT output bits — false
+    positives included.
+
+    100 TB plan: benchmark side is one tiny aggregation; the corpus is
+    scanned once, map-only gram+position expansion, broadcast-hash-joined
+    against the bit table (no corpus-side shuffle on gram), then one
+    partial-aggregated shuffle on (doc, gram) and one on doc.
+
+    Returns (doc_id, n_grams, bloom_hits, bloom_contaminated) for every
+    training doc.
+    """
+    from open_parse_spark.functions.text import md5_long
+
+    if m & (m - 1) or m <= 0:
+        raise ValueError(f"m must be a power of two, got {m}")
+    bits = m.bit_length() - 1
+
+    def _with_positions(df_grams: DataFrame) -> DataFrame:
+        # h materialized in its own projection; positions are pure integer
+        # expressions over it (md5 evaluated once per gram, not k times).
+        # Power-of-two m -> mask/shift instead of %/div: float division
+        # would round h (60 bits > double's 53-bit mantissa) and diverge
+        # from the oracle's exact integer replay.
+        h = df_grams.withColumn("h", md5_long(F.col("gram")))
+        h1 = F.col("h").bitwiseAND(m - 1)
+        h2p = F.shiftright(F.col("h"), bits).bitwiseAND(m - 1)
+        h2 = h2p.bitwiseOR(1)  # odd stride -> cycles all m positions
+        return h.withColumn(
+            "pos",
+            F.explode(F.array(*[(h1 + i * h2).bitwiseAND(m - 1) for i in range(k)])),
+        )
+
+    bench_bits = (
+        _with_positions(
+            benchmark.select(
+                F.explode(word_ngrams(F.col(text_col), n)).alias("gram")
+            ).distinct()
+        )
+        .select("pos")
+        .distinct()
+    )
+
+    grams = train.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_ngrams(F.col(text_col), n)).alias("gram"),
+    )
+    # two consumers (per-doc totals + the probe join) must not re-expand
+    # the regex n-grams — same trap duplicate_spans documents
+    grams = stage(grams, eager=False)
+
+    totals = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    hits = (
+        _with_positions(grams)
+        .join(F.broadcast(bench_bits), "pos")
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("set_probes"))
+        .where(F.col("set_probes") == k)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("bloom_hits"))
+    )
+    return (
+        train.select(F.col(id_col).alias("doc_id"))
+        .join(totals, "doc_id", "left")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("bloom_hits", F.lit(0)).cast("long").alias("bloom_hits"),
+            (F.coalesce("bloom_hits", F.lit(0)) > 0).alias("bloom_contaminated"),
+        )
+    )

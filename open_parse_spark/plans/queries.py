@@ -2111,6 +2111,67 @@ WHERE d.doc_id % 17 <> 0
 """
 
 
+# Registry bloom parameters: m sized so false positives actually occur at
+# sf scale WITHOUT saturating every doc (sf benchmark slice ~1.7k distinct
+# grams -> ~6.7k probes -> ~19% load at 2^15 bits -> per-gram FP ~0.1%),
+# proving the oracle replays the APPROXIMATE answer bit-for-bit, not just
+# the exact-membership subset.
+_BLOOM_M, _BLOOM_K = 1 << 15, 4
+
+
+def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constant-memory variant of `decontaminate`: the benchmark slice is
+    compressed to a Bloom filter (only distinct set-bit positions broadcast,
+    bounded by m regardless of benchmark text size); every truly-shared
+    gram still flags (no false negatives), position collisions add a
+    deterministic, oracle-replayed false-positive rate."""
+    docs = _tbl(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 17 == 0)
+    train = docs.where(F.col("doc_id") % 17 != 0)
+    return D.bloom_decontaminate(train, bench, m=_BLOOM_M, k=_BLOOM_K, n=4)
+
+
+SQL_DECONTAMINATE_BLOOM = f"""
+WITH w AS (
+  SELECT doc_id, list_transform(regexp_extract_all(text, '[A-Za-z0-9]+'), x -> lower(x)) AS ws
+  FROM documents
+), g0 AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, len(ws) - 3),
+                       i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS grams
+  FROM w WHERE len(ws) >= 4
+), g AS (
+  SELECT doc_id, unnest(grams) AS gram FROM g0
+), hp AS (
+  SELECT doc_id, gram,
+         h & {_BLOOM_M - 1} AS h1,
+         ((h >> {_BLOOM_M.bit_length() - 1}) & {_BLOOM_M - 1}) | 1 AS h2
+  FROM (SELECT doc_id, gram, ('0x'||substr(md5(gram),1,15))::BIGINT AS h FROM g)
+), pos AS (
+  SELECT doc_id, gram, (h1 + i.i * h2) & {_BLOOM_M - 1} AS pos
+  FROM hp CROSS JOIN (SELECT unnest(range(0, {_BLOOM_K})) AS i) i
+), bits AS (
+  SELECT DISTINCT pos FROM pos WHERE doc_id % 17 = 0
+), flag AS (
+  SELECT doc_id, gram FROM (SELECT * FROM pos WHERE doc_id % 17 <> 0) tp
+  JOIN bits USING (pos)
+  GROUP BY doc_id, gram HAVING count(*) = {_BLOOM_K}
+), hits AS (
+  SELECT doc_id, count(*)::BIGINT AS bloom_hits FROM flag GROUP BY doc_id
+), totals AS (
+  SELECT doc_id, count(*)::BIGINT AS n_grams FROM g WHERE doc_id % 17 <> 0 GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(t.n_grams, 0)::BIGINT AS n_grams,
+       coalesce(h.bloom_hits, 0)::BIGINT AS bloom_hits,
+       coalesce(h.bloom_hits, 0) > 0 AS bloom_contaminated
+FROM documents d
+LEFT JOIN totals t USING (doc_id)
+LEFT JOIN hits h USING (doc_id)
+WHERE d.doc_id % 17 <> 0
+"""
+
+
 def q_dedup_cluster_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One representative per near-dup cluster (max n_chars, tie lowest id)
     over the exact-Jaccard pair graph; singletons represent themselves."""
@@ -2854,6 +2915,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "conv_context": (q_conv_context, SQL_CONV_CONTEXT),
     # training-data curation (round 2, part 3)
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
+    "decontaminate_bloom": (q_decontaminate_bloom, SQL_DECONTAMINATE_BLOOM),
     "dedup_cluster_rep": (q_dedup_cluster_rep, SQL_DEDUP_CLUSTER_REP),
     "dedup_keep": (q_dedup_keep, SQL_DEDUP_KEEP),
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
@@ -2904,9 +2966,9 @@ CORRECTNESS_WINDOW = [
     # transform analogs (2 representatives)
     "op_spatial_anti_join",
     "op_lead_neighbor",
-    # dedup family
+    # dedup family (dedup_fingerprint rotated out r4 — near-duplicate of
+    # dedup_exact — to admit the new bloom decontamination variant)
     "dedup_exact",
-    "dedup_fingerprint",
     "dedup_minhash",
     "dedup_simhash",
     "dedup_winnow",
@@ -2915,6 +2977,7 @@ CORRECTNESS_WINDOW = [
     "dup_spans",
     "neardup_jaccard",
     "decontaminate",
+    "decontaminate_bloom",
     "boilerplate_lines",
     # similarity / ANN
     "ann_cosine_topk",

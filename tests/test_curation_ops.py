@@ -228,3 +228,75 @@ def test_duplicate_spans_merge_overlapping_ranges(spark):
         )
         for (s1, e1), (s2, e2) in zip(ss, ss[1:]):
             assert s2 > e1, f"overlapping spans for doc {doc}: {ss}"
+
+
+def test_bloom_decontaminate_crafted(spark):
+    from open_parse_spark.operators.dedup import bloom_decontaminate
+
+    bench = _docs(spark, [(0, "alpha beta gamma delta epsilon", "en", "s", 1)])
+    train = _docs(
+        spark,
+        [
+            (1, "alpha beta gamma delta epsilon zeta", "en", "s", 1),
+            (2, "one two three four five", "en", "s", 1),
+            (3, "alpha beta", "en", "s", 1),
+        ],
+    )
+    # roomy filter: no collisions expected on 5 grams -> matches exact op
+    out = {
+        r["doc_id"]: (r["n_grams"], r["bloom_hits"], r["bloom_contaminated"])
+        for r in bloom_decontaminate(train, bench, m=1 << 20, k=4, n=4).collect()
+    }
+    assert out == {1: (3, 2, True), 2: (2, 0, False), 3: (0, 0, False)}
+
+
+def test_bloom_decontaminate_never_misses(spark):
+    """Bloom guarantee: flagged docs are a SUPERSET of truly-contaminated
+    docs at any (m, k) — even a saturated 64-bit filter."""
+    from open_parse_spark.operators.dedup import (
+        bloom_decontaminate,
+        ngram_contamination,
+    )
+
+    # benchmark + even train docs share vocabulary A; odd train docs use a
+    # DISJOINT vocabulary B, so they are exactly-clean — the only way they
+    # can flag is a bloom position collision (the false-positive channel)
+    vocab_a = "the of and to in a is it for on with as by at from".split()
+    vocab_b = "zork quux wibble plugh grault corge fnord xyzzy blorp snarf".split()
+    rows = []
+    for d in range(40):
+        words = vocab_a if (d % 5 == 0 or d % 2 == 0) else vocab_b
+        text = " ".join(words[(d * 7 + j) % len(words)] for j in range(12))
+        rows.append((d, text, "en", "s", 1))
+    docs = _docs(spark, rows)
+    bench = docs.where(F.col("doc_id") % 5 == 0)
+    train = docs.where(F.col("doc_id") % 5 != 0)
+
+    exact = {
+        r["doc_id"]
+        for r in ngram_contamination(train, bench, n=3).collect()
+        if r["contaminated"]
+    }
+    for m, k in ((1 << 20, 4), (64, 2)):
+        flagged = {
+            r["doc_id"]
+            for r in bloom_decontaminate(train, bench, m=m, k=k, n=3).collect()
+            if r["bloom_contaminated"]
+        }
+        assert exact <= flagged, (m, k, exact - flagged)
+    # the saturated filter must actually show false positives, or the
+    # approximation test is vacuous
+    small_flagged = {
+        r["doc_id"]
+        for r in bloom_decontaminate(train, bench, m=64, k=2, n=3).collect()
+        if r["bloom_contaminated"]
+    }
+    assert small_flagged - exact, "expected false positives at m=64"
+
+
+def test_bloom_decontaminate_rejects_non_power_of_two(spark):
+    from open_parse_spark.operators.dedup import bloom_decontaminate
+
+    docs = _docs(spark, [(0, "a b c d e", "en", "s", 1)])
+    with pytest.raises(ValueError):
+        bloom_decontaminate(docs, docs, m=1000)

@@ -31,6 +31,14 @@ def test_decontaminate_broadcasts_benchmark(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_bloom_decontaminate_broadcasts_bit_table(spark):
+    from open_parse_spark.plans.queries import q_decontaminate_bloom
+
+    plan = _plan(q_decontaminate_bloom(spark, SF))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
 def test_sample_stratified_single_exchange(spark):
     from open_parse_spark.plans.queries import q_sample_stratified
 
