@@ -1,0 +1,99 @@
+"""Graph operators over domain/link tables — PageRank-style authority
+scoring for crawl curation (per-domain quotas, seed-list ranking).
+
+No counterpart in the reference (document-parse scope); this is the
+link-graph sibling of the URL/domain ops in ``functions/text.py``.
+
+Design notes (100 TB):
+
+- Power iteration is T chained rounds of "join ranks to edges on src,
+  aggregate contributions on dst" — each round is ONE shuffle on the edge
+  src key plus ONE map-side-combined aggregation shuffle on dst.  The
+  static edge+out-degree relation is materialized once (``stage``) and
+  reused every round; per-round lineage is cut the same way so the plan
+  doesn't grow with T.
+- All arithmetic is exact integer fixed-point (``scale`` units): floor
+  division for per-edge contribution (rank DIV outdeg) and damping
+  ((num * inc) DIV den).  Long sums are order-independent, so the result
+  is bit-identical across partitionings AND replayable by any SQL engine —
+  the registry oracle unrolls the same T rounds in chained CTEs.
+- Dangling nodes (no out-edges) simply drop their mass each round (the
+  lost mass is NOT redistributed) — the simplest deterministic variant;
+  ranks then need no global renormalization step.
+- ``nodes.count()`` is a driver-side scalar (sizes the init/teleport
+  constants) — one cheap metadata aggregate, same class as the k-centroid
+  reads in ``operators/similarity.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from open_parse_spark.spark.stage import stage
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 5,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    scale: int = 10**12,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Integer fixed-point PageRank over a (src, dst) edge DataFrame.
+
+    rank_0(v) = scale DIV n
+    rank_{t+1}(v) = teleport + (damping_num * incoming(v)) DIV damping_den
+      where incoming(v) = sum over edges (u, v) of rank_t(u) DIV outdeg(u)
+      and   teleport    = ((damping_den - damping_num) * scale)
+                          DIV (damping_den * n)
+
+    Returns (node, rank) with rank in ``scale`` fixed-point units.
+    """
+    if iterations < 0:
+        raise ValueError(f"iterations must be >= 0, got {iterations}")
+    e = edges.select(
+        F.col(src_col).cast("string").alias("src"),
+        F.col(dst_col).cast("string").alias("dst"),
+    ).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # static across rounds: materialize once, reuse every iteration
+    edges_deg = stage(e.join(outdeg, "src"), eager=False)
+    nodes = stage(nodes, eager=False)
+
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0).cast("long"))
+    init = scale // n
+    teleport = ((damping_den - damping_num) * scale) // (damping_den * n)
+
+    ranks = nodes.withColumn("rank", F.lit(init).cast("long"))
+    for _ in range(iterations):
+        incoming = (
+            edges_deg.join(ranks, edges_deg.src == ranks.node)
+            .select(F.col("dst"), F.expr("rank DIV outdeg").alias("contrib"))
+            .groupBy("dst")
+            .agg(F.sum("contrib").alias("inc"))
+        )
+        ranks = (
+            nodes.join(incoming, nodes.node == incoming.dst, "left")
+            .select(
+                "node",
+                (
+                    F.lit(teleport)
+                    + F.expr(
+                        f"({damping_num} * coalesce(inc, 0L)) DIV {damping_den}"
+                    )
+                )
+                .cast("long")
+                .alias("rank"),
+            )
+        )
+        ranks = stage(ranks, eager=False)
+    return ranks

@@ -1101,6 +1101,63 @@ SELECT doc_id, term, tf, df_docs, score, rank FROM ranked WHERE rank <= 3
 """
 
 
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-training prep: the corpus's top-200 words by frequency with
+    rank and cumulative-coverage ppm (how much of the token stream the
+    vocabulary prefix up to each rank covers — the curve vocab-size
+    decisions are read off of).  Integer ppm so the oracle is bit-exact.
+
+    Scale shape: one map-side-combined shuffle to word counts; the global
+    top-K is TakeOrderedAndProject (no full sort — K rows cross the wire);
+    the rank/cumsum window then runs over those K rows only, and the scalar
+    total joins in as a broadcast single row."""
+    from pyspark.sql.window import Window
+
+    docs = _tbl(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(T.words(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    total = freq.agg(F.sum("freq").alias("total"))
+    topk = freq.orderBy(F.desc("freq"), F.asc("word")).limit(200)
+    w = Window.orderBy(F.desc("freq"), F.asc("word"))
+    return (
+        topk.crossJoin(F.broadcast(total))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .withColumn(
+            "cum_freq",
+            F.sum("freq")
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("long"),
+        )
+        .withColumn("coverage_ppm", F.expr("(cum_freq * 1000000L) DIV total"))
+        .select("word", "freq", "rank", "cum_freq", "coverage_ppm")
+    )
+
+
+SQL_VOCAB_COVERAGE = """
+WITH w AS (
+  SELECT unnest(list_transform(regexp_extract_all(text, '[A-Za-z0-9]+'), x -> lower(x))) AS word
+  FROM documents
+), f AS (
+  SELECT word, count(*)::BIGINT AS freq FROM w GROUP BY 1
+), t AS (
+  SELECT sum(freq)::BIGINT AS total FROM f
+), r AS (
+  SELECT word, freq,
+         row_number() OVER (ORDER BY freq DESC, word ASC)::BIGINT AS rank,
+         sum(freq) OVER (ORDER BY freq DESC, word ASC
+                         ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_freq
+  FROM f
+)
+SELECT word, freq, rank, cum_freq,
+       ((cum_freq * 1000000) // total)::BIGINT AS coverage_ppm
+FROM r CROSS JOIN t
+WHERE rank <= 200
+"""
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _tbl(spark, sf_dir, "documents")
     t = F.col("text")
@@ -1411,6 +1468,113 @@ SELECT lower(regexp_extract(url, 'https?://(?:[^/@]*@)?([A-Za-z0-9-]+(\\.[A-Za-z
        count(DISTINCT doc_id)::BIGINT AS n_docs
 FROM u GROUP BY 1
 """
+
+
+# PageRank registry constants — shared by the Spark query and the unrolled
+# oracle below (exact integer fixed-point, so both replay bit-for-bit)
+_PR_ITER, _PR_NUM, _PR_DEN, _PR_SCALE = 5, 85, 100, 10**12
+
+
+def q_domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-graph authority ranking: PageRank over the (source-domain ->
+    linked-domain) graph mined from documents, for crawl-side seed/quota
+    decisions.  The synthetic corpus has no URLs, so deterministic ones are
+    injected (same pattern as `url_domains`); edge src is a deterministic
+    per-doc site, dst is the EXTRACTED domain of each injected URL — the
+    gate checks extraction, graph assembly and all 5 integer power-iteration
+    rounds.  Dangling-mass-dropping variant (operators/graph.py)."""
+    from open_parse_spark.operators.graph import pagerank
+    from pyspark.sql.window import Window
+
+    docs = _tbl(spark, sf_dir, "documents")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" see https://Ex"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".com/p/"),
+            F.col("doc_id").cast("string"),
+            F.lit(" and http://site"),
+            (F.col("doc_id") % 3).cast("string"),
+            F.lit(".org/x?q=1&r=2 end"),
+        ).alias("text"),
+    )
+    edges = injected.select(
+        F.concat(F.lit("src"), (F.col("doc_id") % 5).cast("string"), F.lit(".net"))
+        .alias("src"),
+        F.explode(T.extract_urls(F.col("text"))).alias("url"),
+    ).select("src", T.url_domain(F.col("url")).alias("dst")).where(F.col("dst") != "")
+    ranks = pagerank(
+        edges,
+        iterations=_PR_ITER,
+        damping_num=_PR_NUM,
+        damping_den=_PR_DEN,
+        scale=_PR_SCALE,
+    )
+    w = Window.orderBy(F.desc("rank"), F.asc("node"))
+    return (
+        ranks.withColumn("rank_pos", F.row_number().over(w).cast("long"))
+        .select(F.col("node").alias("domain"), F.col("rank"), "rank_pos")
+    )
+
+
+def _pagerank_sql() -> str:
+    """Unrolled power-iteration oracle (same pattern as the quantized-IVF
+    Lloyd replay): pr0 = init, pr{k} = teleport + damped incoming of
+    pr{k-1}; every step exact integer arithmetic."""
+    num, den, scale = _PR_NUM, _PR_DEN, _PR_SCALE
+    step_ctes = []
+    for k in range(1, _PR_ITER + 1):
+        step_ctes.append(
+            f"""pr{k} AS (
+  SELECT n.node,
+         (({den - num} * {scale}) // ({den} * nn.n)
+          + ({num} * coalesce(s.c, 0)) // {den})::BIGINT AS rank
+  FROM nodes n CROSS JOIN nn
+  LEFT JOIN (
+    SELECT e.dst AS node, sum(p.rank // d.outdeg)::BIGINT AS c
+    FROM pr{k - 1} p JOIN e ON e.src = p.node JOIN deg d ON d.src = e.src
+    GROUP BY e.dst
+  ) s ON s.node = n.node
+)"""
+        )
+    steps = ",\n".join(step_ctes)
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         text || ' see https://Ex' || (doc_id % 7)::VARCHAR || '.com/p/' ||
+         doc_id::VARCHAR || ' and http://site' || (doc_id % 3)::VARCHAR ||
+         '.org/x?q=1&r=2 end' AS text
+  FROM documents
+), u AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(text,
+           'https?://[A-Za-z0-9._~:/?#@!$&''()*+,;=%-]*[A-Za-z0-9_~/#=&%-]')) AS url
+  FROM t
+), e0 AS (
+  SELECT 'src' || (doc_id % 5)::VARCHAR || '.net' AS src,
+         lower(regexp_extract(url, 'https?://(?:[^/@]*@)?([A-Za-z0-9-]+(\\.[A-Za-z0-9-]+)*)', 1)) AS dst
+  FROM u
+), e AS (
+  SELECT DISTINCT src, dst FROM e0 WHERE dst <> ''
+), nodes AS (
+  SELECT src AS node FROM e UNION SELECT dst FROM e
+), deg AS (
+  SELECT src, count(*)::BIGINT AS outdeg FROM e GROUP BY 1
+), nn AS (
+  SELECT count(*)::BIGINT AS n FROM nodes
+), pr0 AS (
+  SELECT node, ({scale} // nn.n)::BIGINT AS rank FROM nodes CROSS JOIN nn
+),
+{steps}
+SELECT node AS domain, rank,
+       row_number() OVER (ORDER BY rank DESC, node ASC)::BIGINT AS rank_pos
+FROM pr{_PR_ITER}
+"""
+
+
+SQL_DOMAIN_PAGERANK = _pagerank_sql()
 
 
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2900,12 +3064,14 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
     "doc_split": (q_doc_split, SQL_DOC_SPLIT),
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
+    "vocab_coverage": (q_vocab_coverage, SQL_VOCAB_COVERAGE),
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "doc_chunks": (q_doc_chunks, SQL_DOC_CHUNKS),
     "dup_spans": (q_dup_spans, SQL_DUP_SPANS),
     "rag_index": (q_rag_index, SQL_RAG_INDEX),
     "chunk_merge": (q_chunk_merge, SQL_CHUNK_MERGE),
     "url_domains": (q_url_domains, SQL_URL_DOMAINS),
+    "domain_pagerank": (q_domain_pagerank, SQL_DOMAIN_PAGERANK),
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
     "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
     "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
@@ -2966,12 +3132,12 @@ CORRECTNESS_WINDOW = [
     # transform analogs (2 representatives)
     "op_spatial_anti_join",
     "op_lead_neighbor",
-    # dedup family (dedup_fingerprint rotated out r4 — near-duplicate of
-    # dedup_exact — to admit the new bloom decontamination variant)
+    # dedup family (rotated out r4: dedup_fingerprint — near-duplicate of
+    # dedup_exact — for the bloom decontamination variant, and dedup_winnow
+    # — winnowing is also pytest-guaranteed — for the new graph family)
     "dedup_exact",
     "dedup_minhash",
     "dedup_simhash",
-    "dedup_winnow",
     "dedup_components",
     "dedup_cluster_rep",
     "dup_spans",
@@ -2979,6 +3145,8 @@ CORRECTNESS_WINDOW = [
     "decontaminate",
     "decontaminate_bloom",
     "boilerplate_lines",
+    # graph (new family r4)
+    "domain_pagerank",
     # similarity / ANN
     "ann_cosine_topk",
     "ann_lsh",

@@ -40,7 +40,9 @@ def test_every_family_represented_in_window():
         "metrics_checks": ["parse_metrics_check", "eval_metrics_check"],
         "transforms": ["op_spatial_anti_join", "op_lead_neighbor"],
         "dedup": ["dedup_exact", "dedup_minhash", "dedup_simhash",
-                  "dedup_components", "dup_spans", "decontaminate"],
+                  "dedup_components", "dup_spans", "decontaminate",
+                  "decontaminate_bloom"],
+        "graph": ["domain_pagerank"],
         "ann": ["ann_cosine_topk", "ann_lsh", "ann_ivf", "neardup_cosine"],
         "chunking": ["doc_chunks", "chunk_merge", "rag_index"],
         "text": ["text_quality", "lang_id", "quality_gopher",

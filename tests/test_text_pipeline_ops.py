@@ -276,3 +276,32 @@ def test_lsh_derives_embedding_dim_from_data(spark):
     queries = emb.where("vec_id < 2")
     rows = lsh_topk(emb, queries, k=3).collect()
     assert rows and all(r.rank <= 3 for r in rows)
+
+
+def test_vocab_coverage_crafted(spark, tmp_path):
+    """Hand-computed frequency/rank/coverage on a crafted corpus; the
+    sf0.01 gate covers the corpus-scale equality."""
+    import pandas as pd
+
+    from open_parse_spark.plans.queries import q_vocab_coverage
+
+    rows = [
+        (1, "apple apple apple banana banana cherry", "en", "s", 1),
+        (2, "apple banana date", "en", "s", 1),
+    ]
+    pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).to_parquet(tmp_path / "documents.parquet")
+    out = [tuple(r) for r in q_vocab_coverage(spark, str(tmp_path)).collect()]
+    # freq: apple 4, banana 3, cherry 1, date 1 (total 9); ties word-asc
+    assert out == [
+        ("apple", 4, 1, 4, 4 * 1_000_000 // 9),
+        ("banana", 3, 2, 7, 7 * 1_000_000 // 9),
+        ("cherry", 1, 3, 8, 8 * 1_000_000 // 9),
+        ("date", 1, 4, 9, 1_000_000),
+    ]
+    # invariants: contiguous ranks, monotone coverage, full coverage last
+    ranks = [r[2] for r in out]
+    cov = [r[4] for r in out]
+    assert ranks == list(range(1, len(out) + 1))
+    assert cov == sorted(cov) and cov[-1] == 1_000_000
