@@ -29,7 +29,14 @@ from typing import Iterable, List, Optional
 try:  # pragma: no cover - exercised only when tiktoken is installed
     import tiktoken  # type: ignore
 
-    _ENCODER = tiktoken.get_encoding("cl100k_base")
+    if getattr(tiktoken, "__open_parse_shim__", False):
+        # tests/ref_loader.py shims tiktoken so the REFERENCE routes its
+        # counts through this module; adopting the shim as our own encoder
+        # would recurse the dependency and shadow the vendored-BPE tier
+        # after a module reload (found as 50 cascading test failures)
+        _ENCODER = None
+    else:
+        _ENCODER = tiktoken.get_encoding("cl100k_base")
 except Exception:  # pragma: no cover
     _ENCODER = None
 
