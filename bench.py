@@ -254,6 +254,10 @@ def main() -> None:
         "dup_spans",
         "rag_index",
         "chunk_merge",
+        "decontaminate_bloom",
+        "domain_pagerank",
+        "vocab_coverage",
+        "ann_pq",
     ]
 
     query_secs: dict[str, float] = {}

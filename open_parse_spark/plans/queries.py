@@ -321,6 +321,101 @@ SELECT query_id, neighbor_id, rank, round(sim, 4) AS sim4 FROM r WHERE rank <= 5
 """
 
 
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k (operators/pq.py): the third ANN
+    family next to LSH and IVF.  Same fixed-point discipline as `ann_ivf` —
+    joint integer Lloyd over every (subspace, code), integer squared
+    distances — so the oracle below replays train/encode/score end to end."""
+    from open_parse_spark.operators.pq import pq_topk_quantized
+
+    emb = _tbl(spark, sf_dir, "embeddings")
+    return pq_topk_quantized(
+        emb, emb.where(F.col("vec_id") < 10),
+        k=_PQ_K, n_sub=_PQ_SUB, n_codes=_PQ_CODES, iters=_PQ_ITERS,
+    )
+
+
+# PQ registry constants (embeddings are 64-dim -> 4 subspaces of 16)
+_PQ_K, _PQ_SUB, _PQ_CODES, _PQ_ITERS, _PQ_SUBDIM = 5, 4, 8, 2, 16
+
+
+def _pq_lloyd_sql(prev: str, j: int) -> str:
+    """One joint fixed-point Lloyd step over every (subspace, code) — the
+    `_ivf_lloyd_sql` pattern with the subspace as a data dimension."""
+    return f"""assign{j} AS (
+  SELECT id, s, svq, code FROM (
+    SELECT sv.id, sv.s, sv.svq, cb.code,
+           row_number() OVER (PARTITION BY sv.id, sv.s ORDER BY
+             CAST(list_sum(list_transform(range(1, len(sv.svq)+1),
+                  i -> (sv.svq[i]-cb.cq[i])*(sv.svq[i]-cb.cq[i]))) AS BIGINT),
+             cb.code) AS rn
+    FROM sv JOIN {prev} cb ON cb.s = sv.s) WHERE rn = 1
+), cb{j} AS (
+  SELECT s, code, list(cd ORDER BY i) AS cq FROM (
+    SELECT s, code, i.i AS i,
+           CAST(floor(sum(svq[i.i])::DOUBLE / count(*) + 0.5) AS BIGINT) AS cd
+    FROM assign{j}, sdims i GROUP BY s, code, i.i)
+  GROUP BY s, code
+)"""
+
+
+def _pq_sql() -> str:
+    steps = ", ".join(
+        _pq_lloyd_sql("init" if j == 1 else f"cb{j - 1}", j)
+        for j in range(1, _PQ_ITERS + 1)
+    )
+    final, sub = f"cb{_PQ_ITERS}", _PQ_SUBDIM
+    return f"""
+WITH c AS (
+  SELECT vec_id AS id,
+         list_transform(embedding::DOUBLE[],
+                        x -> CAST(floor(x*1000000 + 0.5) AS BIGINT)) AS vq
+  FROM embeddings
+), subs AS (
+  SELECT unnest(range(1, {_PQ_SUB + 1})) AS s
+), sdims AS (
+  SELECT unnest(range(1, {sub + 1})) AS i
+), sv AS (
+  SELECT id, subs.s AS s, list_slice(vq, (subs.s-1)*{sub}+1, subs.s*{sub}) AS svq
+  FROM c CROSS JOIN subs
+), init AS (
+  SELECT s, rn::BIGINT AS code, svq AS cq FROM (
+    SELECT s, svq,
+           row_number() OVER (PARTITION BY s ORDER BY
+             ('0x'||substr(md5(id::VARCHAR),1,15))::BIGINT) AS rn
+    FROM sv) WHERE rn <= {_PQ_CODES}
+), {steps}, codes AS (
+  SELECT id AS neighbor_id, s, code FROM (
+    SELECT sv.id, sv.s, cb.code,
+           row_number() OVER (PARTITION BY sv.id, sv.s ORDER BY
+             CAST(list_sum(list_transform(range(1, len(sv.svq)+1),
+                  i -> (sv.svq[i]-cb.cq[i])*(sv.svq[i]-cb.cq[i]))) AS BIGINT),
+             cb.code) AS rn
+    FROM sv JOIN {final} cb ON cb.s = sv.s) WHERE rn = 1
+), qtab AS (
+  SELECT sv.id AS query_id, sv.s, cb.code,
+         CAST(list_sum(list_transform(range(1, len(sv.svq)+1),
+              i -> (sv.svq[i]-cb.cq[i])*(sv.svq[i]-cb.cq[i]))) AS BIGINT) AS d
+  FROM sv JOIN {final} cb ON cb.s = sv.s
+  WHERE sv.id < 10
+), scored AS (
+  SELECT query_id, neighbor_id, sum(d)::BIGINT AS adist
+  FROM codes JOIN qtab USING (s, code)
+  WHERE query_id <> neighbor_id
+  GROUP BY 1, 2
+), r AS (
+  SELECT query_id, neighbor_id, adist,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adist ASC, neighbor_id ASC)::BIGINT AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, adist FROM r WHERE rank <= {_PQ_K}
+"""
+
+
+SQL_ANN_PQ = _pq_sql()
+
+
 def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """recall@5 of the LSH and IVF paths vs brute force, per query — the
     pipeline evaluates its own approximations.  Round 3: the IVF leg uses
@@ -3020,6 +3115,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "dedup_minhash": (q_dedup_minhash, SQL_DEDUP_MINHASH),
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
     "ann_ivf": (q_ann_ivf, SQL_ANN_IVF),
+    "ann_pq": (q_ann_pq, SQL_ANN_PQ),
     "ann_recall": (q_ann_recall, SQL_ANN_RECALL),
     "parse_semantic": (q_parse_semantic, None),
     "export_relations": (q_export_relations, None),
@@ -3152,7 +3248,9 @@ CORRECTNESS_WINDOW = [
     "ann_lsh",
     "ann_ivf",
     "ann_recall",
-    "ann_recall_lsh",
+    # ann_recall_lsh rotated out r4 (its lsh leg is also covered inside
+    # ann_recall) for the new PQ family representative
+    "ann_pq",
     "neardup_cosine",
     # chunking / RAG
     "doc_chunks",

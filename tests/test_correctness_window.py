@@ -43,7 +43,8 @@ def test_every_family_represented_in_window():
                   "dedup_components", "dup_spans", "decontaminate",
                   "decontaminate_bloom"],
         "graph": ["domain_pagerank"],
-        "ann": ["ann_cosine_topk", "ann_lsh", "ann_ivf", "neardup_cosine"],
+        "ann": ["ann_cosine_topk", "ann_lsh", "ann_ivf", "ann_pq",
+                "neardup_cosine"],
         "chunking": ["doc_chunks", "chunk_merge", "rag_index"],
         "text": ["text_quality", "lang_id", "quality_gopher",
                  "quality_classifier", "url_domains"],
