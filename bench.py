@@ -413,7 +413,10 @@ def main() -> None:
             "round-2 parse-hot-path work raised per-core throughput ~25% "
             "(pinned single-core A/B 4054 -> 4526 turns/s) with efficiency "
             "unchanged — the speedup is per-core, not "
-            "parallelism-dependent.\n"
+            "parallelism-dependent.  Round-3: 6268/25978 at 2/8 (500k-turn "
+            "corpus), efficiency 0.993.  Round-4: slots-class + "
+            "pipeline-reuse micro-opts, +8% per core (interleaved A/B), "
+            "6730/26638 at 2/8 on the 625k-turn corpus, efficiency 1.005.\n"
         )
 
     print(

@@ -335,8 +335,11 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# PQ registry constants (embeddings are 64-dim -> 4 subspaces of 16)
-_PQ_K, _PQ_SUB, _PQ_CODES, _PQ_ITERS, _PQ_SUBDIM = 5, 4, 8, 2, 16
+# PQ registry constants: embeddings are 64-dim -> 32 subspaces of 2 dims,
+# 32 codes each (parameter sweep at sf0.01: 4x16x8codes -> recall@5 10,
+# 16x32 -> 54, 32sub x 32codes -> 72 vs exact-L2; the synthetic near-random
+# embeddings are PQ's worst case — no cluster structure to exploit)
+_PQ_K, _PQ_SUB, _PQ_CODES, _PQ_ITERS, _PQ_SUBDIM = 5, 32, 32, 3, 2
 
 
 def _pq_lloyd_sql(prev: str, j: int) -> str:
@@ -446,6 +449,85 @@ def _sql_between(sql: str, start: str, end: str) -> str:
 
 # the quantized-IVF chain from SQL_ANN_IVF, ending at its top-k CTE `r`
 _IVF_CHAIN = _sql_between(SQL_ANN_IVF, "c AS (", "\nSELECT query_id")
+
+# the quantized-PQ chain from SQL_ANN_PQ, ending at its top-k CTE `r`
+_PQ_CHAIN = _sql_between(SQL_ANN_PQ, "c AS (", "\nSELECT query_id")
+
+
+def q_ann_recall_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@5 of the product-quantization path against the EXACT L2
+    nearest neighbors of the same quantized vectors — PQ's ADC approximates
+    squared-L2 distance, so the L2 ground truth is the apples-to-apples
+    baseline (recall vs the cosine baseline would conflate quantization
+    error with the L2/cosine metric gap).  All-integer on both legs, so the
+    whole evaluation is value-checked."""
+    from pyspark.sql.window import Window
+
+    from open_parse_spark.operators.pq import pq_topk_quantized
+
+    emb = _tbl(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 10)
+    q = queries_df.select(
+        F.col("vec_id").alias("query_id"),
+        S.quantize_vec(F.col("embedding")).alias("qvq"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        S.quantize_vec(F.col("embedding")).alias("cvq"),
+    )
+    wx = Window.partitionBy("query_id").orderBy(F.asc("d"), F.asc("neighbor_id"))
+    exact = (
+        F.broadcast(q).crossJoin(c)
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id", "neighbor_id",
+            S.int_sqdist(F.col("qvq"), F.col("cvq")).alias("d"),
+        )
+        .withColumn("rank", F.row_number().over(wx))
+        .where(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "rank")
+    )
+    approx = pq_topk_quantized(
+        emb, queries_df, k=_PQ_K, n_sub=_PQ_SUB, n_codes=_PQ_CODES,
+        iters=_PQ_ITERS,
+    )
+    return S.ann_recall(approx, exact)
+
+
+SQL_ANN_RECALL_PQ = f"""
+WITH fqq AS (
+  SELECT vec_id AS query_id,
+         list_transform(embedding::DOUBLE[],
+                        x -> CAST(floor(x*1000000 + 0.5) AS BIGINT)) AS qvq
+  FROM embeddings WHERE vec_id < 10
+), fcq AS (
+  SELECT vec_id AS neighbor_id,
+         list_transform(embedding::DOUBLE[],
+                        x -> CAST(floor(x*1000000 + 0.5) AS BIGINT)) AS cvq
+  FROM embeddings
+), es AS (
+  SELECT fq.query_id, fc.neighbor_id,
+         CAST(list_sum(list_transform(range(1, len(fq.qvq)+1),
+              i -> (fq.qvq[i]-fc.cvq[i])*(fq.qvq[i]-fc.cvq[i]))) AS BIGINT) AS d
+  FROM fqq fq, fcq fc WHERE fq.query_id <> fc.neighbor_id
+), ex AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY d ASC, neighbor_id ASC) AS rank
+    FROM es) t WHERE rank <= 5
+), {_PQ_CHAIN}, pq AS (
+  SELECT query_id, neighbor_id FROM r WHERE rank <= 5
+), base AS (
+  SELECT query_id, count(*) AS total FROM ex GROUP BY query_id
+), hits_pq AS (
+  SELECT query_id, count(*) AS hits
+  FROM ex JOIN pq USING (query_id, neighbor_id) GROUP BY query_id
+)
+SELECT base.query_id,
+       coalesce(hits, 0)::BIGINT AS hits,
+       (coalesce(hits, 0) * 100 / total)::BIGINT AS recall_pct
+FROM base LEFT JOIN hits_pq USING (query_id)
+"""
 
 SQL_ANN_RECALL = f"""
 WITH fq AS (
@@ -3132,6 +3214,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "conv_dedup": (q_conv_dedup, SQL_CONV_DEDUP),
     "conv_role_stats": (q_conv_role_stats, SQL_CONV_ROLE_STATS),
     "ann_recall_lsh": (q_ann_recall_lsh, SQL_ANN_RECALL_LSH),
+    "ann_recall_pq": (q_ann_recall_pq, SQL_ANN_RECALL_PQ),
     "neardup_cosine": (q_neardup_cosine, SQL_NEARDUP_COSINE),
     "quality_gopher": (q_quality_gopher, SQL_QUALITY_GOPHER),
     "training_samples": (q_training_samples, SQL_TRAINING_SAMPLES),
