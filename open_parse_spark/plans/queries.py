@@ -325,21 +325,28 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ADC top-k (operators/pq.py): the third ANN
     family next to LSH and IVF.  Same fixed-point discipline as `ann_ivf` —
     joint integer Lloyd over every (subspace, code), integer squared
-    distances — so the oracle below replays train/encode/score end to end."""
+    distances — so the oracle below replays train/encode/score end to end.
+    Subspace COUNT is derived from the data (fixed sub-dim of 2) on both
+    engines, so the query runs on any even embedding dimension (the parity
+    corpora are 8-dim, the sf tables 64-dim)."""
     from open_parse_spark.operators.pq import pq_topk_quantized
+    from open_parse_spark.operators.similarity import _dim_of
 
     emb = _tbl(spark, sf_dir, "embeddings")
     return pq_topk_quantized(
         emb, emb.where(F.col("vec_id") < 10),
-        k=_PQ_K, n_sub=_PQ_SUB, n_codes=_PQ_CODES, iters=_PQ_ITERS,
+        k=_PQ_K, n_sub=_dim_of(emb, "embedding") // _PQ_SUBDIM,
+        n_codes=_PQ_CODES, iters=_PQ_ITERS,
     )
 
 
-# PQ registry constants: embeddings are 64-dim -> 32 subspaces of 2 dims,
-# 32 codes each (parameter sweep at sf0.01: 4x16x8codes -> recall@5 10,
-# 16x32 -> 54, 32sub x 32codes -> 72 vs exact-L2; the synthetic near-random
-# embeddings are PQ's worst case — no cluster structure to exploit)
-_PQ_K, _PQ_SUB, _PQ_CODES, _PQ_ITERS, _PQ_SUBDIM = 5, 32, 32, 3, 2
+# PQ registry constants: fixed sub-dim of 2 -> the sf tables' 64-dim
+# embeddings get 32 subspaces, 32 codes each (parameter sweep at sf0.01:
+# 4x16x8codes -> recall@5 10, 16x32 -> 54, 32sub x 32codes -> 72 vs
+# exact-L2; the synthetic near-random embeddings are PQ's worst case — no
+# cluster structure to exploit).  Subspace COUNT is data-derived in both
+# engines so any even dim works.
+_PQ_K, _PQ_CODES, _PQ_ITERS, _PQ_SUBDIM = 5, 32, 3, 2
 
 
 def _pq_lloyd_sql(prev: str, j: int) -> str:
@@ -375,7 +382,8 @@ WITH c AS (
                         x -> CAST(floor(x*1000000 + 0.5) AS BIGINT)) AS vq
   FROM embeddings
 ), subs AS (
-  SELECT unnest(range(1, {_PQ_SUB + 1})) AS s
+  SELECT unnest(range(1,
+    (SELECT coalesce(max(len(vq)), 0) FROM c) // {_PQ_SUBDIM} + 1)) AS s
 ), sdims AS (
   SELECT unnest(range(1, {sub + 1})) AS i
 ), sv AS (
@@ -488,8 +496,9 @@ def q_ann_recall_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", "rank")
     )
     approx = pq_topk_quantized(
-        emb, queries_df, k=_PQ_K, n_sub=_PQ_SUB, n_codes=_PQ_CODES,
-        iters=_PQ_ITERS,
+        emb, queries_df, k=_PQ_K,
+        n_sub=S._dim_of(emb, "embedding") // _PQ_SUBDIM,
+        n_codes=_PQ_CODES, iters=_PQ_ITERS,
     )
     return S.ann_recall(approx, exact)
 
