@@ -740,6 +740,45 @@ def duplicate_spans(
     )
 
 
+def _validate_bloom_m(m: int) -> None:
+    if m & (m - 1) or m <= 0:
+        raise ValueError(f"m must be a power of two, got {m}")
+
+
+def bloom_positions(df_grams: DataFrame, m: int, k: int) -> DataFrame:
+    """Explode a `gram` column into its k Bloom bit positions (column
+    `pos`).  h is materialized in its own projection so md5 evaluates once
+    per gram, not k times; power-of-two m -> mask/shift instead of %/div
+    (float division would round the 60-bit hash past the double mantissa
+    and diverge from the oracle's exact integer replay).  MUST stay in
+    lockstep with :func:`bloom_positions_py` (dialect-parity pytest)."""
+    _validate_bloom_m(m)
+    bits = m.bit_length() - 1
+    from open_parse_spark.functions.text import md5_long
+
+    h = df_grams.withColumn("h", md5_long(F.col("gram")))
+    h1 = F.col("h").bitwiseAND(m - 1)
+    h2p = F.shiftright(F.col("h"), bits).bitwiseAND(m - 1)
+    h2 = h2p.bitwiseOR(1)  # odd stride -> cycles all m positions
+    return h.withColumn(
+        "pos",
+        F.explode(F.array(*[(h1 + i * h2).bitwiseAND(m - 1) for i in range(k)])),
+    )
+
+
+def bloom_positions_py(gram: str, m: int, k: int) -> list:
+    """Pure-Python twin of :func:`bloom_positions` for stream-side
+    membership checks (same md5-hex-prefix hash, same mask/shift/odd-stride
+    arithmetic)."""
+    import hashlib
+
+    bits = m.bit_length() - 1
+    h = int(hashlib.md5(gram.encode("utf-8")).hexdigest()[:15], 16)
+    h1 = h & (m - 1)
+    h2 = ((h >> bits) & (m - 1)) | 1
+    return [(h1 + i * h2) & (m - 1) for i in range(k)]
+
+
 def bloom_decontaminate(
     train: DataFrame,
     benchmark: DataFrame,
@@ -775,32 +814,15 @@ def bloom_decontaminate(
     Returns (doc_id, n_grams, bloom_hits, bloom_contaminated) for every
     training doc.
     """
-    from open_parse_spark.functions.text import md5_long
-
-    if m & (m - 1) or m <= 0:
-        raise ValueError(f"m must be a power of two, got {m}")
-    bits = m.bit_length() - 1
-
-    def _with_positions(df_grams: DataFrame) -> DataFrame:
-        # h materialized in its own projection; positions are pure integer
-        # expressions over it (md5 evaluated once per gram, not k times).
-        # Power-of-two m -> mask/shift instead of %/div: float division
-        # would round h (60 bits > double's 53-bit mantissa) and diverge
-        # from the oracle's exact integer replay.
-        h = df_grams.withColumn("h", md5_long(F.col("gram")))
-        h1 = F.col("h").bitwiseAND(m - 1)
-        h2p = F.shiftright(F.col("h"), bits).bitwiseAND(m - 1)
-        h2 = h2p.bitwiseOR(1)  # odd stride -> cycles all m positions
-        return h.withColumn(
-            "pos",
-            F.explode(F.array(*[(h1 + i * h2).bitwiseAND(m - 1) for i in range(k)])),
-        )
+    _validate_bloom_m(m)
 
     bench_bits = (
-        _with_positions(
+        bloom_positions(
             benchmark.select(
                 F.explode(word_ngrams(F.col(text_col), n)).alias("gram")
-            ).distinct()
+            ).distinct(),
+            m,
+            k,
         )
         .select("pos")
         .distinct()
@@ -816,7 +838,7 @@ def bloom_decontaminate(
 
     totals = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
     hits = (
-        _with_positions(grams)
+        bloom_positions(grams, m, k)
         .join(F.broadcast(bench_bits), "pos")
         .groupBy("doc_id", "gram")
         .agg(F.count(F.lit(1)).alias("set_probes"))

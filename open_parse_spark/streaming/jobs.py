@@ -451,3 +451,88 @@ def streaming_rag_index(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_bloom_decontaminate(
+    spark: SparkSession,
+    input_dir: str,
+    benchmark: DataFrame,
+    m: int = 1 << 15,
+    k: int = 4,
+    n: int = 4,
+) -> DataFrame:
+    """Streaming twin of ``dedup.bloom_decontaminate``: incoming turns are
+    probed against a STATIC Bloom bit set in a stateless ``mapInPandas``
+    (same shape as ``streaming_decontaminate``) — but the broadcast is the
+    integer set-bit table, bounded by ``m`` regardless of benchmark text
+    size, instead of the gram strings.
+
+    The stream side computes positions with ``dedup.bloom_positions_py``,
+    the exact Python twin of the batch/oracle arithmetic (dialect-parity
+    pytest pins them together), so stream and batch verdicts are identical
+    on identical rows — false positives included."""
+    import re as _re
+
+    import pandas as pd
+
+    from open_parse_spark.functions.text import WORD_RE, word_ngrams
+    from open_parse_spark.operators.dedup import (
+        bloom_positions,
+        bloom_positions_py,
+    )
+
+    bits = frozenset(
+        r["pos"]
+        for r in bloom_positions(
+            benchmark.select(
+                F.explode(word_ngrams(F.col("text"), n)).alias("gram")
+            ).distinct(),
+            m,
+            k,
+        )
+        .select("pos")
+        .distinct()
+        .collect()
+    )
+    bc = spark.sparkContext.broadcast(bits)
+    word_re = _re.compile(WORD_RE)
+
+    def check(batches):
+        bset = bc.value
+        for pdf in batches:
+            n_grams, hits = [], []
+            for text in pdf["text"]:
+                ws = [w.lower() for w in word_re.findall(text or "")]
+                grams = {
+                    " ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)
+                }
+                n_grams.append(len(grams))
+                hits.append(
+                    sum(
+                        1
+                        for g in grams
+                        if all(p in bset for p in bloom_positions_py(g, m, k))
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "conv_id": pdf["conv_id"],
+                    "turn_idx": pdf["turn_idx"],
+                    "n_grams": pd.Series(n_grams, dtype="int64"),
+                    "bloom_hits": pd.Series(hits, dtype="int64"),
+                    "bloom_contaminated": pd.Series(
+                        [h > 0 for h in hits], dtype="bool"
+                    ),
+                }
+            )
+
+    stream = (
+        spark.readStream.schema(TRANSCRIPT_DDL)
+        .parquet(input_dir)
+        .select("conv_id", "turn_idx", "text")
+    )
+    return stream.mapInPandas(
+        check,
+        "conv_id string, turn_idx int, n_grams long, bloom_hits long, "
+        "bloom_contaminated boolean",
+    )

@@ -321,3 +321,74 @@ def test_streaming_sessionize_multichunk_key(spark, tmp_path):
     # the first (earlier) session closes via the gap; 20 events in order
     assert len(got) >= 1
     assert got.iloc[0]["n_events"] == 20, got
+
+
+def test_bloom_positions_python_twin_matches_spark(spark):
+    """The stream-side Python position arithmetic must equal the Spark
+    expression bit-for-bit (same md5 prefix hash, mask/shift, odd stride) —
+    the contract streaming_bloom_decontaminate rests on."""
+    import random
+    import string
+
+    from open_parse_spark.operators.dedup import (
+        bloom_positions,
+        bloom_positions_py,
+    )
+
+    rng = random.Random(99)
+    grams = [
+        "".join(rng.choice(string.ascii_lowercase + " 0123456789") for _ in range(rng.randint(1, 30)))
+        for _ in range(200)
+    ] + ["", "a b c d", "üñïçödé gram"]
+    df = spark.createDataFrame([(g,) for g in grams], "gram string")
+    for m, k in ((1 << 15, 4), (64, 2)):
+        got = {}
+        for r in bloom_positions(df, m, k).collect():
+            got.setdefault(r["gram"], []).append(r["pos"])
+        for g in grams:
+            assert sorted(got[g]) == sorted(bloom_positions_py(g, m, k)), (g, m, k)
+
+
+def test_streaming_bloom_decontaminate_matches_batch(spark, stream_dir):
+    """Stream-side bloom verdicts == the batch operator on the same rows,
+    false positives included (tiny m so the FP channel is exercised)."""
+    from pyspark.sql import functions as F
+
+    from open_parse_spark.operators.dedup import bloom_decontaminate
+    from open_parse_spark.streaming.jobs import (
+        run_stream_to_memory,
+        streaming_bloom_decontaminate,
+    )
+
+    raw = spark.read.parquet(stream_dir)
+    bench = raw.where(F.crc32("text") % 5 == 0).select("text")
+    m, k = 256, 3  # small filter -> false positives occur and must match
+
+    stream = streaming_bloom_decontaminate(spark, stream_dir, bench, m=m, k=k, n=4)
+    q = run_stream_to_memory(stream, "bloom_stream")
+    q.awaitTermination(120)
+    got = spark.table("bloom_stream").toPandas()
+    assert len(got) == raw.count()
+    assert bool(got["bloom_contaminated"].any())
+
+    keyed = raw.select(
+        F.concat_ws(
+            "#", "conv_id", F.col("turn_idx").cast("string"), F.md5("text")
+        ).alias("doc_id"),
+        "text",
+    ).distinct()
+    batch = bloom_decontaminate(keyed, bench, m=m, k=k, n=4).toPandas()
+
+    # per-(conv,turn) multiset of (n_grams, hits) must match the batch op's
+    got_ms = sorted(map(tuple, got[["n_grams", "bloom_hits"]].itertuples(index=False)))
+    # batch is keyed per distinct (conv,turn,text); re-expand to row multiset
+    import pandas as pd
+
+    raw_pdf = raw.select(
+        F.concat_ws(
+            "#", "conv_id", F.col("turn_idx").cast("string"), F.md5("text")
+        ).alias("doc_id")
+    ).toPandas()
+    merged = raw_pdf.merge(batch, on="doc_id", how="left")
+    want_ms = sorted(map(tuple, merged[["n_grams", "bloom_hits"]].itertuples(index=False)))
+    assert got_ms == want_ms
