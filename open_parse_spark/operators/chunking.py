@@ -19,7 +19,7 @@ from functools import lru_cache
 
 from pyspark.sql import DataFrame, functions as F
 
-from open_parse_spark.functions.text import words
+from open_parse_spark.functions.text import WORD_RE, words
 
 
 def chunk_documents(
@@ -64,10 +64,11 @@ def chunk_documents(
     sized = df.select(
         F.col(id_col).alias("doc_id"),
         words(F.col(text_col)).alias("ws"),
-        # separators of the SAME regex: text = sep[0] w1 sep[1] ... wn sep[n]
-        # (len(seps) == n+1 always), so char offsets fall out of lengths —
-        # no second tokenizer, no Python
-        F.split(F.col(text_col), r"[A-Za-z0-9]+", -1).alias("seps"),
+        # separators of the SAME regex (the shared WORD_RE, not a copy —
+        # the span identity text = sep[0] w1 sep[1] ... wn sep[n] holds only
+        # while split and words() tokenize identically): len(seps) == n+1
+        # always, so char offsets fall out of lengths — no second tokenizer
+        F.split(F.col(text_col), WORD_RE, -1).alias("seps"),
     ).select(
         "doc_id",
         "ws",

@@ -89,15 +89,18 @@ def pq_codebooks_quantized(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scale: int = QUANT_SCALE,
+    dim: int = None,
 ) -> DataFrame:
     """Joint fixed-point Lloyd over every subspace at once.
 
     Init: per subspace, the ``n_codes`` vectors with the smallest md5(id)
     hash (the IVF init convention — identical ids across subspaces, slices
     differ).  Update: per-dim floor(sum/count + 0.5).  Returns
-    (s, code, cq: array<bigint>).
+    (s, code, cq: array<bigint>).  ``dim`` skips the probe job when the
+    caller already knows it.
     """
-    dim = _dim_of(embeddings, vec_col)
+    if dim is None:
+        dim = _dim_of(embeddings, vec_col)
     if dim % n_sub:
         raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
     sub = dim // n_sub
@@ -142,16 +145,23 @@ def pq_topk_quantized(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scale: int = QUANT_SCALE,
+    dim: int = None,
 ) -> DataFrame:
     """ADC top-k: returns (query_id, neighbor_id, rank, adist) where adist
     is the exact-integer sum of per-subspace squared distances from the
     query to the neighbor's code centroids (lower = closer); ties break on
-    the lower neighbor id."""
-    dim = _dim_of(embeddings, vec_col)
+    the lower neighbor id.  ``dim`` skips the probe jobs when known."""
+    if dim is None:
+        dim = _dim_of(embeddings, vec_col)
+    qdim = _dim_of(queries, vec_col)
+    if qdim != dim:
+        # a silent mismatch would null-pad int_sqdist's zip_with and rank
+        # on NULL adist — garbage top-k with no exception (review finding)
+        raise ValueError(f"query dim {qdim} != corpus dim {dim}")
     sub = dim // n_sub
     codebook = pq_codebooks_quantized(
         embeddings, n_sub=n_sub, n_codes=n_codes, iters=iters,
-        id_col=id_col, vec_col=vec_col, scale=scale,
+        id_col=id_col, vec_col=vec_col, scale=scale, dim=dim,
     )
     corpus_sv = _subspace_rows(embeddings, n_sub, sub, id_col, vec_col, scale)
     codes = _assign_codes(corpus_sv, codebook).select(

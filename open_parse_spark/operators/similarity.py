@@ -321,12 +321,16 @@ def _assign_to_centroids_int(c: DataFrame, centroids: DataFrame) -> DataFrame:
     mat_i = np.array([r["cq"] for r in rows], dtype=np.int64)
     sq_i = (mat_i * mat_i).sum(axis=1)
     dim = mat.shape[1] if mat.ndim == 2 and mat.shape[1] else 1
-    f64_bound = int(np.floor(np.sqrt(2.0**53 / dim)))
+    # d = |c|^2 - 2<v,c> ranges within +-3*dim*maxprod (anti-aligned vectors
+    # hit the worst case), so BOTH paths need the factor-3 headroom, not
+    # just the per-sum bound: the f64 subtraction must stay <= 2^53 to be
+    # exactly representable, and the i64 subtraction must stay < 2^63 or it
+    # wraps and silently returns the farthest centroid (review finding —
+    # the earlier bounds of 2^53/dim and 2^62/dim admitted exactly-at-bound
+    # anti-aligned inputs that overflow).
+    f64_bound = int(np.floor(np.sqrt(2.0**53 / (3 * dim))))
     mat_ok = np.abs(mat_i).max(initial=0) <= f64_bound
-    # int64 fallback overflow ceiling: dim * maxprod must stay below 2^62
-    # (distances subtract two such sums) — beyond that no fixed-width path
-    # is exact, so fail loudly rather than return a wrong argmin
-    i64_bound = int(np.floor(np.sqrt(2.0**62 / dim)))
+    i64_bound = int(np.floor(np.sqrt(2.0**63 / (3 * dim))))
 
     def _argmin(vs):
         m_i = np.stack(vs.values)  # int64 (n, dim)
@@ -635,9 +639,14 @@ def lsh_topk(
         # opaque in-executor numpy shape error on any other embedding size
         dim = _dim_of(embeddings, vec_col)
     buckets_udf = lsh_buckets_arrow(num_planes, num_tables, dim)
-    ce = embeddings.select(
-        F.col(id_col).alias("neighbor_id"),
-        _as_double(F.col(vec_col)).alias("cv"),
+    # ce has two consumers (bucket explode + the post-dedup vector join);
+    # unstaged, the embeddings source is scanned and projected twice
+    ce = stage(
+        embeddings.select(
+            F.col(id_col).alias("neighbor_id"),
+            _as_double(F.col(vec_col)).alias("cv"),
+        ),
+        eager=False,
     )
     qe = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")

@@ -333,10 +333,11 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from open_parse_spark.operators.similarity import _dim_of
 
     emb = _tbl(spark, sf_dir, "embeddings")
+    dim = _dim_of(emb, "embedding")
     return pq_topk_quantized(
         emb, emb.where(F.col("vec_id") < 10),
-        k=_PQ_K, n_sub=_dim_of(emb, "embedding") // _PQ_SUBDIM,
-        n_codes=_PQ_CODES, iters=_PQ_ITERS,
+        k=_PQ_K, n_sub=dim // _PQ_SUBDIM,
+        n_codes=_PQ_CODES, iters=_PQ_ITERS, dim=dim,
     )
 
 
@@ -495,10 +496,10 @@ def q_ann_recall_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 5)
         .select("query_id", "neighbor_id", "rank")
     )
+    dim = S._dim_of(emb, "embedding")
     approx = pq_topk_quantized(
-        emb, queries_df, k=_PQ_K,
-        n_sub=S._dim_of(emb, "embedding") // _PQ_SUBDIM,
-        n_codes=_PQ_CODES, iters=_PQ_ITERS,
+        emb, queries_df, k=_PQ_K, n_sub=dim // _PQ_SUBDIM,
+        n_codes=_PQ_CODES, iters=_PQ_ITERS, dim=dim,
     )
     return S.ann_recall(approx, exact)
 

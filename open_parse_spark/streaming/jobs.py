@@ -105,13 +105,14 @@ def streaming_sessionize(
         "user_id long, session_no long, n_events long, session_start string"
     )
     state_schema = (
-        "session_no long, last_ts_us long, n_events long, session_start string"
+        "session_no long, last_ts_us long, n_events long, "
+        "session_start string, start_us long"
     )
 
     def close_sessions(key, pdf_iter, state: GroupState):
         (user_id,) = key
         if state.hasTimedOut:
-            session_no, _last, n_events, start = state.get
+            session_no, _last, n_events, start, _start_us = state.get
             state.remove()
             yield pd.DataFrame(
                 {
@@ -123,9 +124,11 @@ def streaming_sessionize(
             )
             return
         if state.exists:
-            session_no, last_ts_us, n_events, start = state.get
+            session_no, last_ts_us, n_events, start, start_us = state.get
         else:
-            session_no, last_ts_us, n_events, start = 0, None, 0, None
+            session_no, last_ts_us, n_events, start, start_us = (
+                0, None, 0, None, None,
+            )
         closed = {"session_no": [], "n_events": [], "session_start": []}
         # Spark does NOT pre-filter late rows for arbitrary stateful ops:
         # a beyond-watermark straggler reaches this function, and letting it
@@ -160,6 +163,7 @@ def streaming_sessionize(
                     session_no += 1
                     n_events = 0
                     start = ts.strftime("%Y-%m-%d %H:%M:%S")
+                    start_us = ts_us
                     last_ts_us = ts_us
                 elif ts_us >= last_ts_us:
                     last_ts_us = ts_us
@@ -167,21 +171,27 @@ def streaming_sessionize(
                     # within-watermark row OLDER than the open session's max
                     # (cross-batch disorder): absorb WITHOUT rewinding
                     # last_ts_us — a rewind would inflate the next on-time
-                    # row's gap and open a phantom session, breaking the
-                    # "closed sessions ⊆ batch sessionization" contract.
-                    # If it predates the recorded start, pull the start back
-                    # (batch order would have begun the session here); the
-                    # fixed "%Y-%m-%d %H:%M:%S" format is lexicographically
-                    # ordered, so string min is timestamp min.
-                    s = ts.strftime("%Y-%m-%d %H:%M:%S")
-                    if start is None or s < start:
-                        start = s
+                    # row's gap and open a phantom session.  Absorb ONLY
+                    # rows within gap of the session start: batch order
+                    # would extend the session backward exactly then; a row
+                    # more than gap older belongs to a DIFFERENT batch
+                    # session, and merging it emitted a tuple batch never
+                    # produces (review finding) — such extreme stragglers
+                    # are dropped like beyond-watermark rows.
+                    if (
+                        start_us is not None
+                        and start_us - ts_us > gap_seconds * 1_000_000
+                    ):
+                        continue
+                    if start_us is None or ts_us < start_us:
+                        start_us = ts_us
+                        start = ts.strftime("%Y-%m-%d %H:%M:%S")
                 n_events += 1
         # a new key whose micro-batch held only empty chunks has no rows and
         # last_ts_us stays None — registering state (or a timeout on None)
         # would crash the query; skip until real rows arrive
         if last_ts_us is not None:
-            state.update((session_no, last_ts_us, n_events, start))
+            state.update((session_no, last_ts_us, n_events, start, start_us))
             # close idle sessions via event-time timeout at last_ts + gap;
             # when only late-filtered rows arrived this batch the natural
             # timeout can already lie behind the advanced watermark — the

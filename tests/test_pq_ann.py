@@ -125,3 +125,11 @@ def test_pq_codebook_shape_and_validation(spark):
     assert len(cb) <= 16  # empty clusters may drop, never grow
     with pytest.raises(ValueError):
         pq_codebooks_quantized(df, n_sub=3)  # 8 % 3 != 0
+
+
+def test_pq_rejects_query_dim_mismatch(spark):
+    rng = np.random.default_rng(5)
+    emb = _emb_df(spark, {i: rng.normal(0, 0.2, 8) for i in range(10)})
+    q32 = _emb_df(spark, {0: rng.normal(0, 0.2, 4)})
+    with pytest.raises(ValueError, match="query dim"):
+        pq_topk_quantized(emb, q32, n_sub=2)

@@ -546,3 +546,60 @@ def test_streaming_rag_index_kill_and_resume(spark, tmp_path):
     # on a fast box the stream may drain first — then this degrades to a
     # restart-after-completion no-op check, which must also hold
     assert interrupted <= len(got), (interrupted, len(got))
+
+
+def test_sessionize_beyond_gap_backward_straggler_not_merged(spark, tmp_path):
+    """A within-watermark row more than ``gap`` OLDER than the open
+    session's start must NOT be absorbed (review finding): batch
+    sessionization puts it in its own earlier session, so merging it
+    emitted a (start pulled back, n_events+1) tuple batch never produces.
+    Such extreme stragglers are dropped like beyond-watermark rows, and
+    every closed session the stream emits must still be a batch tuple.
+
+    user 1: session opens at 1000s (rows to 1200s); the watermark (driven
+    by user 2's clock) sits far enough back that a 300s row is still
+    within it, but 300s is 700s before the session start (> gap 600) —
+    the old code merged it into a phantom (start=300s, n=4) session."""
+    base = datetime.datetime(2026, 1, 1, 12)
+    d = tmp_path / "ev"
+    d.mkdir()
+
+    def ev(eid, sec, uid):
+        return (eid, base + datetime.timedelta(seconds=sec), uid, "e", 0.0, "")
+
+    files = [
+        [ev(0, 1000, 1), ev(1, 1100, 1), ev(2, 1200, 1),
+         ev(3, 1200, 2)],                     # watermark -> 1200s - 30min < 300s
+        [ev(4, 300, 1),                       # backward straggler, > gap older
+         ev(5, 1500, 2)],
+        [ev(6, 2600, 1),                      # gap-closes user 1's session
+         ev(7, 4000, 2), ev(8, 6000, 2)],     # advance watermark to flush
+    ]
+    rows_all = []
+    for f, rows in enumerate(files):
+        _write_events(str(d / f"f{f}.parquet"), rows)
+        rows_all.extend(rows)
+
+    from open_parse_spark.streaming.jobs import (
+        run_stream_to_memory,
+        streaming_sessionize,
+    )
+
+    stream = streaming_sessionize(
+        spark, str(d), gap_seconds=600, watermark="30 minutes",
+        max_files_per_trigger=1,
+    )
+    q = run_stream_to_memory(stream, "sess_farback", mode="append")
+    q.awaitTermination(180)
+    got = spark.table("sess_farback").toPandas()
+    got_set = set(
+        map(tuple, got[["user_id", "session_no", "n_events", "session_start"]]
+            .itertuples(index=False))
+    )
+    start_1000 = (base + datetime.timedelta(seconds=1000)).strftime("%Y-%m-%d %H:%M:%S")
+    start_300 = (base + datetime.timedelta(seconds=300)).strftime("%Y-%m-%d %H:%M:%S")
+    # the open session closes UNMERGED: start stays 1000s, n_events stays 3
+    assert (1, 1, 3, start_1000) in got_set, got_set
+    # and no phantom merged/backward tuple exists
+    assert not any(t[0] == 1 and t[3] == start_300 for t in got_set), got_set
+    assert not any(t[0] == 1 and t[2] == 4 for t in got_set), got_set
