@@ -153,6 +153,16 @@ def pq_topk_quantized(
     the lower neighbor id.  ``dim`` skips the probe jobs when known."""
     if dim is None:
         dim = _dim_of(embeddings, vec_col)
+    if dim == 0 or n_sub <= 0:
+        # empty corpus (dim probes to 0): nothing to train or score —
+        # return an empty result with the output schema instead of a
+        # divide-by-zero (empty partitions are routine at scale)
+        return queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(id_col).alias("neighbor_id"),
+            F.lit(0).cast("long").alias("rank"),
+            F.lit(0).cast("long").alias("adist"),
+        ).where(F.lit(False))
     qdim = _dim_of(queries, vec_col)
     if qdim != dim:
         # a silent mismatch would null-pad int_sqdist's zip_with and rank
