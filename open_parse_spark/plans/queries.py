@@ -3194,6 +3194,80 @@ FROM documents, wt
 """
 
 
+def q_quality_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style bigram LM quality score (Wenzek et al. 2019): train an
+    integer stupid-backoff bigram model on the deterministic half-split
+    ``doc_id % 2 = 0`` and score EVERY document's mean next-word probability
+    in ppm — the perplexity-filter shape, kept in exact integer arithmetic
+    so the oracle replays train + score end to end (the held-out half
+    genuinely exercises the backoff branch), then bucket into CCNet's
+    head/middle/tail score terciles (tail dropped).  See operators/lm.py
+    for the 100 TB plan-shape notes (Zipf-key skew handled by AQE; model
+    side one row per key; tercile cutoffs broadcast from a sample at
+    scale)."""
+    from open_parse_spark.operators.lm import lm_score
+
+    return lm_score(_tbl(spark, sf_dir, "documents"))
+
+
+SQL_QUALITY_LM = """
+WITH w AS (
+  SELECT doc_id, list_transform(regexp_extract_all(text, '[A-Za-z0-9]+'), x -> lower(x)) AS ws
+  FROM documents
+), idx AS (
+  SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i
+  FROM w WHERE len(ws) >= 2
+), pairs AS (
+  SELECT doc_id, ws[i] AS prev, ws[i + 1] AS cur FROM idx
+), uni AS (
+  SELECT word, count(*)::BIGINT AS uni_cnt
+  FROM (SELECT unnest(ws) AS word FROM w WHERE doc_id % 2 = 0)
+  GROUP BY 1
+), bi AS (
+  SELECT prev, cur, count(*)::BIGINT AS bi_cnt
+  FROM pairs WHERE doc_id % 2 = 0 GROUP BY 1, 2
+), tot AS (
+  SELECT coalesce(sum(uni_cnt), 0)::BIGINT AS total FROM uni
+), occ AS (
+  SELECT doc_id, prev, cur, count(*)::BIGINT AS occ FROM pairs GROUP BY 1, 2, 3
+), sc AS (
+  SELECT occ.doc_id, occ.occ, bi.bi_cnt,
+         CASE WHEN bi.bi_cnt IS NOT NULL
+              THEN (bi.bi_cnt * 1000000) // up.uni_cnt
+              ELSE (4 * ((coalesce(uc.uni_cnt, 0) * 1000000) // total)) // 10
+         END AS p_ppm
+  FROM occ
+  LEFT JOIN bi ON occ.prev = bi.prev AND occ.cur = bi.cur
+  LEFT JOIN uni up ON occ.prev = up.word
+  LEFT JOIN uni uc ON occ.cur = uc.word
+  CROSS JOIN tot
+), pd AS (
+  SELECT doc_id, sum(occ)::BIGINT AS n_bigrams,
+         sum(CASE WHEN bi_cnt IS NULL THEN occ ELSE 0 END)::BIGINT AS oov_bigrams,
+         sum(p_ppm * occ)::BIGINT AS p_sum
+  FROM sc GROUP BY 1
+)
+, scored AS (
+  SELECT d.doc_id,
+         coalesce(n_bigrams, 0)::BIGINT AS n_bigrams,
+         coalesce(oov_bigrams, 0)::BIGINT AS oov_bigrams,
+         coalesce(p_sum // n_bigrams, 0)::BIGINT AS lm_score_ppm
+  FROM documents d LEFT JOIN pd USING (doc_id)
+), ranked AS (
+  SELECT *,
+         row_number() OVER (ORDER BY lm_score_ppm DESC, doc_id ASC) AS rank,
+         count(*) OVER () AS n_docs
+  FROM scored
+)
+SELECT doc_id, n_bigrams, oov_bigrams, lm_score_ppm,
+       CASE WHEN 3 * rank <= n_docs THEN 'head'
+            WHEN 3 * rank <= 2 * n_docs THEN 'middle'
+            ELSE 'tail' END AS bucket,
+       (3 * rank <= 2 * n_docs) AS keep
+FROM ranked
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3285,6 +3359,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     ),
     "boilerplate_lines": (q_boilerplate_lines, SQL_BOILERPLATE_LINES),
     "quality_classifier": (q_quality_classifier, SQL_QUALITY_CLASSIFIER),
+    "quality_lm": (q_quality_lm, SQL_QUALITY_LM),
     "html_blocks": (q_html_blocks, SQL_HTML_BLOCKS),
 }
 
@@ -3349,8 +3424,10 @@ CORRECTNESS_WINDOW = [
     "doc_chunks",
     "chunk_merge",
     "rag_index",
-    # text analysis / curation
-    "text_quality",
+    # text analysis / curation (rotated out r4b: text_quality — its
+    # length/punct/stopword counts are a strict subset of what
+    # quality_gopher value-checks — for the new CCNet-style LM scorer)
+    "quality_lm",
     "lang_id",
     "pii_scrub",
     "tfidf_top_terms",

@@ -46,7 +46,7 @@ def test_every_family_represented_in_window():
         "ann": ["ann_cosine_topk", "ann_lsh", "ann_ivf", "ann_pq",
                 "neardup_cosine"],
         "chunking": ["doc_chunks", "chunk_merge", "rag_index"],
-        "text": ["text_quality", "lang_id", "quality_gopher",
+        "text": ["quality_lm", "lang_id", "quality_gopher",
                  "quality_classifier", "url_domains"],
         "events": ["events_hourly", "events_sessionize", "events_asof_join"],
         "conversations": ["conv_transcript_assembly", "conv_dedup",

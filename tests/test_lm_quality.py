@@ -1,0 +1,129 @@
+"""Independent differential test for the bigram LM quality score.
+
+The DuckDB oracle in the registry replays the same relational plan; this
+test replays the operator with a SEPARATE dict-based pure-Python model
+(counts, stupid backoff, tercile bucketing written imperatively), on a
+crafted corpus that exercises every branch the homogeneous synthetic
+corpus cannot: unseen bigrams (backoff), unseen unigrams (zero mass),
+docs with < 2 words (no bigrams -> tail), and score ties (doc_id
+tie-break).
+"""
+
+import re
+
+from open_parse_spark.operators.lm import BACKOFF_DEN, BACKOFF_NUM, PPM, lm_score
+
+WORD_RE = re.compile(r"[A-Za-z0-9]+")
+
+
+def _words(text):
+    return [w.lower() for w in WORD_RE.findall(text or "")]
+
+
+def _replay(rows, train_mod=2, train_rem=0):
+    """Pure-Python replay: train on doc_id % mod == rem, score all."""
+    uni, bi, total = {}, {}, 0
+    for doc_id, text in rows:
+        if doc_id % train_mod != train_rem:
+            continue
+        ws = _words(text)
+        total += len(ws)
+        for w in ws:
+            uni[w] = uni.get(w, 0) + 1
+        for a, b in zip(ws, ws[1:]):
+            bi[(a, b)] = bi.get((a, b), 0) + 1
+
+    scored = []
+    for doc_id, text in rows:
+        ws = _words(text)
+        pairs = list(zip(ws, ws[1:]))
+        p_sum = oov = 0
+        for a, b in pairs:
+            if (a, b) in bi:
+                p_sum += (bi[(a, b)] * PPM) // uni[a]
+            else:
+                oov += 1
+                p_sum += (BACKOFF_NUM * ((uni.get(b, 0) * PPM) // total)) // BACKOFF_DEN
+        n = len(pairs)
+        scored.append(
+            {
+                "doc_id": doc_id,
+                "n_bigrams": n,
+                "oov_bigrams": oov,
+                "lm_score_ppm": (p_sum // n) if n else 0,
+            }
+        )
+    scored.sort(key=lambda r: (-r["lm_score_ppm"], r["doc_id"]))
+    n_docs = len(scored)
+    for rank, r in enumerate(scored, start=1):
+        if 3 * rank <= n_docs:
+            r["bucket"] = "head"
+        elif 3 * rank <= 2 * n_docs:
+            r["bucket"] = "middle"
+        else:
+            r["bucket"] = "tail"
+        r["keep"] = r["bucket"] != "tail"
+    return {r["doc_id"]: r for r in scored}
+
+
+CRAFTED = [
+    # train half (even ids): a small fluent corpus
+    (0, "the cat sat on the mat and the cat slept"),
+    (2, "the dog sat on the mat and the dog ran"),
+    (4, "a cat and a dog sat on the mat together"),
+    (6, "the mat sat under the cat and under the dog"),
+    (8, "cats and dogs sat on mats"),
+    # held-out half (odd ids)
+    (1, "the cat sat on the mat"),  # all bigrams seen -> high score
+    (3, "the zebra sat on quantum flux"),  # unseen bigrams + unseen unigrams
+    (5, "mat"),  # single word -> no bigrams -> tail
+    (7, ""),  # empty -> no bigrams
+    (9, "dog cat mat the on sat and a"),  # seen words, scrambled order (backoff)
+    (11, "xyzzy plugh"),  # fully OOV: p_ppm 0
+]
+
+
+def test_crafted_branches_and_buckets(spark):
+    df = spark.createDataFrame(CRAFTED, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in lm_score(df).collect()}
+    want = _replay(CRAFTED)
+    assert set(got) == set(want)
+    for doc_id in want:
+        for k in ("n_bigrams", "oov_bigrams", "lm_score_ppm", "bucket", "keep"):
+            assert got[doc_id][k] == want[doc_id][k], (doc_id, k, got[doc_id], want[doc_id])
+    # the crafted corpus genuinely exercises each branch
+    assert got[3]["oov_bigrams"] > 0  # backoff fired
+    assert got[11]["lm_score_ppm"] == 0 and got[11]["oov_bigrams"] == 1
+    assert got[5]["n_bigrams"] == 0 and got[5]["bucket"] == "tail"
+    assert got[1]["lm_score_ppm"] > got[3]["lm_score_ppm"]
+    buckets = {r["bucket"] for r in got.values()}
+    assert buckets == {"head", "middle", "tail"}
+
+
+def test_real_corpus_replay(spark):
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.sql(
+        "SELECT doc_id, text FROM '/root/testdata/sf0.001/documents.parquet' ORDER BY doc_id"
+    ).fetchall()
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in lm_score(df).collect()}
+    want = _replay(rows)
+    assert got.keys() == want.keys()
+    mismatches = [
+        (d, got[d], want[d])
+        for d in want
+        if any(got[d][k] != want[d][k] for k in want[d])
+    ]
+    assert not mismatches, mismatches[:3]
+
+
+def test_tie_break_is_deterministic(spark):
+    rows = [(i, "same text every time") for i in range(9)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        ((r["doc_id"], r["bucket"]) for r in lm_score(df).collect()),
+    )
+    # identical scores -> buckets assigned purely by doc_id order
+    assert [b for _, b in got] == ["head"] * 3 + ["middle"] * 3 + ["tail"] * 3
