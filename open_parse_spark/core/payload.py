@@ -37,6 +37,7 @@ except ImportError:  # pragma: no cover
 from typing import Any, Dict, List, Optional
 
 from open_parse_spark.core.model import (
+    MIN_HEADING_SIZE,
     Bbox,
     ImageElement,
     LineElement,
@@ -44,6 +45,7 @@ from open_parse_spark.core.model import (
     TableElement,
     TextElement,
     TextSpan,
+    clean_markdown_formatting,
 )
 from open_parse_spark.core.spans import create_line_element, get_lines_bbox
 from open_parse_spark.functions.tables import (
@@ -84,6 +86,116 @@ def _decode_line(line_obj: Dict[str, Any]) -> LineElement:
     return LineElement(bbox=bbox, spans=spans)
 
 
+class LazyLinesTextElement(TextElement):
+    """Layout-path TextElement whose LineElements are materialized lazily.
+
+    The hot path needs only the element-level aggregates — joined text,
+    bbox fold, and the ``all(line.is_heading)`` / ``all(line.is_bold)``
+    style folds — all of which ``_flat_decode_text_lines`` computes straight
+    off the span dicts without constructing ~6 TextSpan+LineElement objects
+    per line for nobody (the only ``.lines`` consumers in the repo are those
+    two folds, plus tests).  A cold reader gets lines built by the exact
+    eager construction (``_decode_line``), asserted equal in
+    tests/test_payload.py."""
+
+    __slots__ = ("_raw_lines", "_lines_cache", "_flat_heading", "_flat_bold")
+
+    def __init__(self, text, bbox, raw_lines, is_heading, is_bold):
+        self.text = text
+        self.bbox = bbox
+        self._tokens = None
+        self._raw_lines = raw_lines
+        self._lines_cache = None
+        self._flat_heading = is_heading
+        self._flat_bold = is_bold
+
+    @property
+    def lines(self):
+        if self._lines_cache is None:
+            self._lines_cache = tuple(
+                _decode_line(line) for line in self._raw_lines
+            )
+        return self._lines_cache
+
+    @property
+    def is_heading(self) -> bool:
+        return self._flat_heading
+
+    @property
+    def is_bold(self) -> bool:
+        return self._flat_bold
+
+
+def _flat_decode_text_lines(raw_lines: list):
+    """Element-level aggregates for a span-shaped text element, computed
+    without LineElement/TextSpan construction.
+
+    Returns ``(text, bbox_fold, all_heading, all_bold)`` — value-identical
+    to building the objects and folding (differential-tested), or ``None``
+    when any line uses the char-level grammar (T2-T4 grouping stays on the
+    object path).
+    """
+    texts = []
+    fx0 = fy0 = fx1 = fy1 = None
+    all_heading = all_bold = True
+    for line_obj in raw_lines:
+        if "chars" in line_obj:
+            return None
+        # bbox rounded to 2dp exactly as LineElement.__init__ does; the
+        # element fold runs over the ROUNDED values
+        b0, b1, b2, b3 = line_obj["bbox"]
+        b0, b1, b2, b3 = round(b0, 2), round(b1, 2), round(b2, 2), round(b3, 2)
+        if fx0 is None:
+            fx0, fy0, fx1, fy1 = b0, b1, b2, b3
+        else:
+            if b0 < fx0:
+                fx0 = b0
+            if b1 < fy0:
+                fy0 = b1
+            if b2 > fx1:
+                fx1 = b2
+            if b3 > fy1:
+                fy1 = b3
+        spans = line_obj.get("spans", [])
+        flags = [
+            (
+                s.get("text", ""),
+                bool(s.get("is_bold", False)),
+                bool(s.get("is_italic", False)),
+            )
+            for s in spans
+        ]
+        n = len(flags)
+        parts = []
+        for i, (t, bold, italic) in enumerate(flags):
+            # TextSpan.formatted_text transition markers, same order:
+            # bold prefix, italic prefix (outermost left), bold suffix,
+            # italic suffix (outermost right)
+            if bold and (i == 0 or not flags[i - 1][1]):
+                t = "**" + t
+            if italic and (i == 0 or not flags[i - 1][2]):
+                t = "*" + t
+            if bold and (i == n - 1 or not flags[i + 1][1]):
+                t = t + "**"
+            if italic and (i == n - 1 or not flags[i + 1][2]):
+                t = t + "*"
+            parts.append(t)
+        texts.append(clean_markdown_formatting("".join(parts)))
+        if all_heading or all_bold:
+            # LineElement style folds ignore the trailing span when >1 span
+            style = spans[:-1] if n > 1 else spans
+            for s in style:
+                if not all_bold and not all_heading:
+                    break
+                if not bool(s.get("is_bold", False)):
+                    all_bold = all_heading = False
+                elif all_heading and not (
+                    float(s.get("size", 0.0)) >= MIN_HEADING_SIZE
+                ):
+                    all_heading = False
+    return "\n".join(texts), (fx0, fy0, fx1, fy1), all_heading, all_bold
+
+
 def _decode_page_elements(page_obj: Dict[str, Any]) -> List[Element]:
     page = int(page_obj.get("page", 0))
     width = float(page_obj.get("width", DEFAULT_PAGE_WIDTH))
@@ -92,9 +204,35 @@ def _decode_page_elements(page_obj: Dict[str, Any]) -> List[Element]:
     for el in page_obj.get("elements", []):
         kind = el.get("kind", "text")
         if kind == "text":
-            lines = [_decode_line(line) for line in el.get("lines", [])]
-            if not lines:
+            raw_lines = el.get("lines", [])
+            if not raw_lines:
                 continue
+            flat = _flat_decode_text_lines(raw_lines)
+            if flat is not None:
+                text, fold, all_heading, all_bold = flat
+                if "bbox" in el:
+                    x0, y0, x1, y1 = el["bbox"]
+                else:
+                    x0, y0, x1, y1 = fold
+                out.append(
+                    LazyLinesTextElement(
+                        text=text,
+                        bbox=Bbox(
+                            page=page,
+                            page_width=width,
+                            page_height=height,
+                            x0=float(x0),
+                            y0=float(y0),
+                            x1=float(x1),
+                            y1=float(y1),
+                        ),
+                        raw_lines=raw_lines,
+                        is_heading=all_heading,
+                        is_bold=all_bold,
+                    )
+                )
+                continue
+            lines = [_decode_line(line) for line in raw_lines]
             if "bbox" in el:
                 x0, y0, x1, y1 = el["bbox"]
             else:

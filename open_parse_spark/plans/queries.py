@@ -3268,6 +3268,68 @@ FROM ranked
 """
 
 
+def q_quality_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style cleaning (Raffel et al. 2020 §2.2), line gates + page gates,
+    all JVM regex so the oracle replays it exactly:
+
+    - a line is KEPT iff it ends in terminal punctuation (``. ! ? "`` with
+      optional trailing spaces), has >= 3 ASCII words, and does not mention
+      javascript (the published line rules);
+    - the page is KEPT iff it retains >= 5 lines (the paper's "fewer than 5
+      sentences" gate, counted on retained lines), contains no "lorem ipsum"
+      and no ``{`` (both case-insensitive page rules).
+
+    Emits the cleaned text (kept lines rejoined) plus per-gate flags so the
+    value hash pins the whole line filter, not just the counts.  Map-only:
+    one JVM pass per document, no shuffle, no Python."""
+    docs = _tbl(spark, sf_dir, "documents")
+    t = F.coalesce(F.col("text"), F.lit(""))
+    lines = F.split(t, "\n")
+    kept = F.filter(
+        lines,
+        # \z (absolute end) not $: Java's $ also matches before a trailing
+        # \r, RE2's does not — \z is end-of-input in both engines
+        lambda l: l.rlike('[.!?"] *\\z')
+        & (F.regexp_count(l, F.lit("[A-Za-z0-9]+")) >= F.lit(3))
+        & ~l.rlike("(?i)javascript"),
+    )
+    has_lorem = t.rlike("(?i)lorem ipsum")
+    has_brace = t.contains("{")
+    return docs.select(
+        "doc_id",
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept_lines"),
+        F.array_join(kept, "\n").alias("cleaned_text"),
+        has_lorem.alias("has_lorem"),
+        has_brace.alias("has_brace"),
+        ((F.size(kept) >= 5) & ~has_lorem & ~has_brace).alias("keep"),
+    )
+
+
+SQL_QUALITY_C4 = r"""
+WITH k AS (
+  SELECT doc_id,
+         coalesce(text, '') AS t,
+         string_split(coalesce(text, ''), chr(10)) AS lines,
+         list_filter(string_split(coalesce(text, ''), chr(10)), l ->
+           regexp_matches(l, '[.!?"] *\z')
+           AND len(regexp_extract_all(l, '[A-Za-z0-9]+')) >= 3
+           AND NOT regexp_matches(l, '(?i)javascript')) AS kept
+  FROM documents
+)
+SELECT doc_id,
+       len(lines)::BIGINT AS n_lines,
+       len(kept)::BIGINT AS n_kept_lines,
+       coalesce(array_to_string(kept, chr(10)), '') AS cleaned_text,
+       regexp_matches(t, '(?i)lorem ipsum') AS has_lorem,
+       contains(t, '{') AS has_brace,
+       (len(kept) >= 5
+        AND NOT regexp_matches(t, '(?i)lorem ipsum')
+        AND NOT contains(t, '{')) AS keep
+FROM k
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3360,6 +3422,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "boilerplate_lines": (q_boilerplate_lines, SQL_BOILERPLATE_LINES),
     "quality_classifier": (q_quality_classifier, SQL_QUALITY_CLASSIFIER),
     "quality_lm": (q_quality_lm, SQL_QUALITY_LM),
+    "quality_c4": (q_quality_c4, SQL_QUALITY_C4),
     "html_blocks": (q_html_blocks, SQL_HTML_BLOCKS),
 }
 
