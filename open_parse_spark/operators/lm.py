@@ -93,21 +93,31 @@ def lm_score(
     id_col: str = "doc_id",
     train_mod: int = 2,
     train_rem: int = 0,
+    cutoffs: str = "window",
 ) -> DataFrame:
     """Score every document with the half-split bigram model and bucket it
     CCNet-style into head/middle/tail perplexity terciles (CCNet keeps the
     head/middle and drops the tail).
 
     Output: (doc_id, n_bigrams, oov_bigrams, lm_score_ppm, bucket, keep).
-    Buckets are exact score terciles by integer rank arithmetic (rank over
-    (score desc, doc_id) with 3*rank <= n / <= 2n cutoffs) — deterministic
-    under ties.  Docs with < 2 words score 0 ppm and land in the tail.
+    Docs with < 2 words score 0 ppm and land in the tail.
 
-    Scale note: the tercile window is a global sort; at 100 TB you'd do
-    what CCNet does — derive the two cutoff VALUES from a sample (or a
-    two-pass exact count) and broadcast them as literals, turning the
-    window into a map-only comparison.  The window form is kept here
-    because it is the oracle-exact semantics at test scale.
+    ``cutoffs`` picks the bucketing strategy:
+
+    - ``"window"`` (default, the oracle semantics): exact score terciles by
+      integer rank arithmetic — ``row_number`` over (score desc, doc_id)
+      with ``3*rank <= n`` / ``<= 2n`` cutoffs, deterministic under ties.
+      The rank window is a GLOBAL sort (single-partition exchange) — exact
+      at test scale, wrong shape at 100 TB.
+    - ``"histogram"`` (the scale path): scores are integers in [0, 1e6]
+      ppm, so ``groupBy(score).count()`` is <= 1,000,001 rows REGARDLESS of
+      corpus size; fold the histogram's cumulative counts driver-side into
+      two cutoff VALUES and bucket with a broadcast map-only comparison —
+      one map-side-combined shuffle of bounded width, no global sort.
+      Under ties it differs from "window" by design: equal scores always
+      land in the same bucket (CCNet buckets by score value), so bucket
+      sizes are terciles up to tie mass.  ``tests/test_lm_quality.py``
+      pins histogram == window wherever the cutoff scores are untied.
     """
     from pyspark.sql.window import Window
     uni, bi, total = train_bigram_counts(
@@ -166,6 +176,10 @@ def lm_score(
             .alias("lm_score_ppm"),
         )
     )
+    if cutoffs == "histogram":
+        return _bucket_by_histogram(scored_docs)
+    if cutoffs != "window":
+        raise ValueError(f"cutoffs must be 'window' or 'histogram', got {cutoffs!r}")
     w = Window.orderBy(F.desc("lm_score_ppm"), F.asc(id_col))
     return (
         scored_docs.withColumn("rank", F.row_number().over(w))
@@ -178,4 +192,47 @@ def lm_score(
         )
         .withColumn("keep", F.col("bucket") != F.lit("tail"))
         .drop("rank", "n_docs")
+    )
+
+
+def _bucket_by_histogram(scored_docs: DataFrame) -> DataFrame:
+    """Tercile bucketing via the bounded integer-score histogram.
+
+    The window form puts ranks 1..floor(n/3) in head and up to floor(2n/3)
+    in middle; with untied scores that equals ``score > c1 -> head`` /
+    ``score > c2 -> middle`` where c1/c2 are the scores AT descending ranks
+    floor(n/3)+1 and floor(2n/3)+1.  Those are the broadcast cutoffs; a tie
+    group straddling a cutoff lands whole in the worse bucket (CCNet buckets
+    by score value).  Empty input returns empty.  The histogram fold
+    collects <= 1e6+1 rows — bounded by the score DOMAIN, not the corpus.
+    """
+    hist = (
+        scored_docs.groupBy("lm_score_ppm")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("lm_score_ppm"))
+        .collect()
+    )
+    n = sum(r["cnt"] for r in hist)
+    if n == 0:
+        return scored_docs.withColumn("bucket", F.lit("tail")).withColumn(
+            "keep", F.lit(False)
+        )
+    r1 = n // 3 + 1  # descending rank of the first row NOT in head
+    r2 = 2 * n // 3 + 1
+    c1 = c2 = None
+    cum = 0
+    for row in hist:
+        cum += row["cnt"]
+        if c1 is None and cum >= r1:
+            c1 = row["lm_score_ppm"]
+        if c2 is None and cum >= r2:
+            c2 = row["lm_score_ppm"]
+            break
+    bucket = (
+        F.when(F.col("lm_score_ppm") > F.lit(c1), F.lit("head"))
+        .when(F.col("lm_score_ppm") > F.lit(c2), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return scored_docs.withColumn("bucket", bucket).withColumn(
+        "keep", F.col("bucket") != F.lit("tail")
     )

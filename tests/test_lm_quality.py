@@ -119,6 +119,41 @@ def test_real_corpus_replay(spark):
     assert not mismatches, mismatches[:3]
 
 
+def test_histogram_cutoffs_match_window_off_ties(spark):
+    """The scale path (broadcast histogram cutoffs, no global sort) equals
+    the window form for every doc whose score is not ON a cutoff; a tie
+    group straddling a cutoff lands whole in the worse bucket."""
+    rows = CRAFTED
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    win = {r["doc_id"]: r.asDict() for r in lm_score(df).collect()}
+    hist = {r["doc_id"]: r.asDict() for r in lm_score(df, cutoffs="histogram").collect()}
+    assert set(win) == set(hist)
+    # scores identical between modes; derive the cutoffs exactly as the
+    # operator does (descending ranks n//3+1 and 2n//3+1)
+    scores = sorted((r["lm_score_ppm"] for r in win.values()), reverse=True)
+    n = len(scores)
+    c1, c2 = scores[n // 3], scores[2 * n // 3]
+    order = {"head": 0, "middle": 1, "tail": 2}
+    for d in win:
+        assert hist[d]["lm_score_ppm"] == win[d]["lm_score_ppm"]
+        if hist[d]["lm_score_ppm"] not in (c1, c2):
+            assert hist[d]["bucket"] == win[d]["bucket"], (d, hist[d], win[d])
+        else:  # on a cutoff: never a BETTER bucket than the window form
+            assert order[hist[d]["bucket"]] >= order[win[d]["bucket"]]
+    # strict-cutoff property: buckets never exceed their tercile
+    n_head = sum(1 for r in hist.values() if r["bucket"] == "head")
+    n_mid = sum(1 for r in hist.values() if r["bucket"] == "middle")
+    assert n_head <= n // 3 and n_head + n_mid <= 2 * n // 3
+
+
+def test_histogram_all_tied_lands_in_one_bucket(spark):
+    rows = [(i, "same text every time") for i in range(9)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = lm_score(df, cutoffs="histogram").collect()
+    assert {r["bucket"] for r in got} == {"tail"}
+    assert not any(r["keep"] for r in got)
+
+
 def test_tie_break_is_deterministic(spark):
     rows = [(i, "same text every time") for i in range(9)]
     df = spark.createDataFrame(rows, "doc_id long, text string")
