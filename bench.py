@@ -416,7 +416,11 @@ def main() -> None:
             "parallelism-dependent.  Round-3: 6268/25978 at 2/8 (500k-turn "
             "corpus), efficiency 0.993.  Round-4: slots-class + "
             "pipeline-reuse micro-opts, +8% per core (interleaved A/B), "
-            "6730/26638 at 2/8 on the 625k-turn corpus, efficiency 1.005.\n"
+            "6730/26638 at 2/8 on the 625k-turn corpus, efficiency 1.005; "
+            "part 2 flattened the span-layout decode (isolated decode "
+            "stage ~40% faster, bare-parse mp control 26916 -> 31601 "
+            "turns/s at 8 procs) — Spark-leg walls moved 6061/20028 at "
+            "2/8, efficiency 0.925, inside this box's run-to-run swing.\n"
         )
 
     print(
