@@ -94,17 +94,20 @@ class LazyLinesTextElement(TextElement):
     style folds — all of which ``_flat_decode_text_lines`` computes straight
     off the span dicts without constructing ~6 TextSpan+LineElement objects
     per line for nobody (the only ``.lines`` consumers in the repo are those
-    two folds, plus tests).  A cold reader gets lines built by the exact
-    eager construction (``_decode_line``), asserted equal in
-    tests/test_payload.py."""
+    two folds, plus tests).  A cold reader rebuilds lines from
+    ``line_specs`` — compact ``(bbox4, ((text, bold, italic, size), ...))``
+    tuples, NOT the decoded JSON dicts, so the payload's parse tree stays
+    GC-able after decode (heavy-tailed megabyte payloads would otherwise be
+    pinned in dict form for the element's lifetime; review finding).
+    Rebuild equality is asserted in tests/test_payload_flat.py."""
 
-    __slots__ = ("_raw_lines", "_lines_cache", "_flat_heading", "_flat_bold")
+    __slots__ = ("_line_specs", "_lines_cache", "_flat_heading", "_flat_bold")
 
-    def __init__(self, text, bbox, raw_lines, is_heading, is_bold):
+    def __init__(self, text, bbox, line_specs, is_heading, is_bold):
         self.text = text
         self.bbox = bbox
         self._tokens = None
-        self._raw_lines = raw_lines
+        self._line_specs = line_specs
         self._lines_cache = None
         self._flat_heading = is_heading
         self._flat_bold = is_bold
@@ -113,7 +116,10 @@ class LazyLinesTextElement(TextElement):
     def lines(self):
         if self._lines_cache is None:
             self._lines_cache = tuple(
-                _decode_line(line) for line in self._raw_lines
+                LineElement(
+                    bbox=bbox, spans=tuple(TextSpan(*s) for s in spans)
+                )
+                for bbox, spans in self._line_specs
             )
         return self._lines_cache
 
@@ -130,44 +136,49 @@ def _flat_decode_text_lines(raw_lines: list):
     """Element-level aggregates for a span-shaped text element, computed
     without LineElement/TextSpan construction.
 
-    Returns ``(text, bbox_fold, all_heading, all_bold)`` — value-identical
-    to building the objects and folding (differential-tested), or ``None``
-    when any line uses the char-level grammar (T2-T4 grouping stays on the
-    object path).
+    Returns ``(text, bbox_fold, all_heading, all_bold, line_specs)`` —
+    value-identical to building the objects and folding
+    (differential-tested), or ``None`` when any line uses the char-level
+    grammar (T2-T4 grouping stays on the object path).  ``line_specs``
+    carries compact ``(raw_bbox4, normalized_span_tuples)`` for the lazy
+    cold-path rebuild, detached from the decoded JSON dicts.
     """
     texts = []
     fx0 = fy0 = fx1 = fy1 = None
     all_heading = all_bold = True
+    line_specs = []
     for line_obj in raw_lines:
         if "chars" in line_obj:
             return None
         # bbox rounded to 2dp exactly as LineElement.__init__ does; the
         # element fold runs over the ROUNDED values
         b0, b1, b2, b3 = line_obj["bbox"]
-        b0, b1, b2, b3 = round(b0, 2), round(b1, 2), round(b2, 2), round(b3, 2)
+        rb0, rb1, rb2, rb3 = round(b0, 2), round(b1, 2), round(b2, 2), round(b3, 2)
         if fx0 is None:
-            fx0, fy0, fx1, fy1 = b0, b1, b2, b3
+            fx0, fy0, fx1, fy1 = rb0, rb1, rb2, rb3
         else:
-            if b0 < fx0:
-                fx0 = b0
-            if b1 < fy0:
-                fy0 = b1
-            if b2 > fx1:
-                fx1 = b2
-            if b3 > fy1:
-                fy1 = b3
+            if rb0 < fx0:
+                fx0 = rb0
+            if rb1 < fy0:
+                fy0 = rb1
+            if rb2 > fx1:
+                fx1 = rb2
+            if rb3 > fy1:
+                fy1 = rb3
         spans = line_obj.get("spans", [])
         flags = [
             (
                 s.get("text", ""),
                 bool(s.get("is_bold", False)),
                 bool(s.get("is_italic", False)),
+                float(s.get("size", 0.0)),
             )
             for s in spans
         ]
+        line_specs.append(((b0, b1, b2, b3), tuple(flags)))
         n = len(flags)
         parts = []
-        for i, (t, bold, italic) in enumerate(flags):
+        for i, (t, bold, italic, _sz) in enumerate(flags):
             # TextSpan.formatted_text transition markers, same order:
             # bold prefix, italic prefix (outermost left), bold suffix,
             # italic suffix (outermost right)
@@ -183,17 +194,20 @@ def _flat_decode_text_lines(raw_lines: list):
         texts.append(clean_markdown_formatting("".join(parts)))
         if all_heading or all_bold:
             # LineElement style folds ignore the trailing span when >1 span
-            style = spans[:-1] if n > 1 else spans
-            for s in style:
-                if not all_bold and not all_heading:
-                    break
-                if not bool(s.get("is_bold", False)):
+            style = flags[:-1] if n > 1 else flags
+            for _t, bold, _it, size in style:
+                if not bold:
                     all_bold = all_heading = False
-                elif all_heading and not (
-                    float(s.get("size", 0.0)) >= MIN_HEADING_SIZE
-                ):
+                    break
+                if all_heading and size < MIN_HEADING_SIZE:
                     all_heading = False
-    return "\n".join(texts), (fx0, fy0, fx1, fy1), all_heading, all_bold
+    return (
+        "\n".join(texts),
+        (fx0, fy0, fx1, fy1),
+        all_heading,
+        all_bold,
+        line_specs,
+    )
 
 
 def _decode_page_elements(page_obj: Dict[str, Any]) -> List[Element]:
@@ -209,7 +223,7 @@ def _decode_page_elements(page_obj: Dict[str, Any]) -> List[Element]:
                 continue
             flat = _flat_decode_text_lines(raw_lines)
             if flat is not None:
-                text, fold, all_heading, all_bold = flat
+                text, fold, all_heading, all_bold, line_specs = flat
                 if "bbox" in el:
                     x0, y0, x1, y1 = el["bbox"]
                 else:
@@ -226,7 +240,7 @@ def _decode_page_elements(page_obj: Dict[str, Any]) -> List[Element]:
                             x1=float(x1),
                             y1=float(y1),
                         ),
-                        raw_lines=raw_lines,
+                        line_specs=line_specs,
                         is_heading=all_heading,
                         is_bold=all_bold,
                     )

@@ -100,7 +100,11 @@ def lm_score(
     head/middle and drops the tail).
 
     Output: (doc_id, n_bigrams, oov_bigrams, lm_score_ppm, bucket, keep).
-    Docs with < 2 words score 0 ppm and land in the tail.
+    Docs with < 2 words score 0 ppm; their BUCKET follows the mode's tie
+    rule like any other tie group (in window mode, row_number splits a tie
+    group across buckets by doc_id, so 0-score docs can land in head when
+    more than a third of the corpus ties at 0 — filter on lm_score_ppm > 0
+    as well as keep if contentless docs must never survive).
 
     ``cutoffs`` picks the bucketing strategy:
 
@@ -146,9 +150,13 @@ def lm_score(
                 F.col("bi_cnt").isNotNull(),
                 F.expr(f"(bi_cnt * {PPM}L) DIV uni_prev"),
             ).otherwise(
+                # total = 0 (empty train split) -> NULL, not an ANSI
+                # DIVIDE_BY_ZERO: sum() then skips every p_ppm and the doc
+                # score coalesces to 0, exactly the oracle's NULL-fold
                 F.expr(
-                    f"({BACKOFF_NUM} * ((coalesce(uni_cur, 0L) * {PPM}L)"
-                    f" DIV total)) DIV {BACKOFF_DEN}"
+                    f"CASE WHEN total = 0 THEN NULL ELSE"
+                    f" ({BACKOFF_NUM} * ((coalesce(uni_cur, 0L) * {PPM}L)"
+                    f" DIV total)) DIV {BACKOFF_DEN} END"
                 )
             ),
         )
@@ -206,6 +214,11 @@ def _bucket_by_histogram(scored_docs: DataFrame) -> DataFrame:
     by score value).  Empty input returns empty.  The histogram fold
     collects <= 1e6+1 rows — bounded by the score DOMAIN, not the corpus.
     """
+    # the histogram fold consumes scored_docs once and the returned frame
+    # consumes it again — persist so the train+score DAG (two count
+    # shuffles + four joins) runs once, not twice (review finding).  Note
+    # the collect fires at call time, making this mode eager.
+    scored_docs = scored_docs.persist()
     hist = (
         scored_docs.groupBy("lm_score_ppm")
         .agg(F.count(F.lit(1)).alias("cnt"))

@@ -3234,7 +3234,8 @@ WITH w AS (
   SELECT occ.doc_id, occ.occ, bi.bi_cnt,
          CASE WHEN bi.bi_cnt IS NOT NULL
               THEN (bi.bi_cnt * 1000000) // up.uni_cnt
-              ELSE (4 * ((coalesce(uc.uni_cnt, 0) * 1000000) // total)) // 10
+              ELSE CASE WHEN total = 0 THEN NULL
+                   ELSE (4 * ((coalesce(uc.uni_cnt, 0) * 1000000) // total)) // 10 END
          END AS p_ppm
   FROM occ
   LEFT JOIN bi ON occ.prev = bi.prev AND occ.cur = bi.cur

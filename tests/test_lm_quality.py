@@ -146,6 +146,20 @@ def test_histogram_cutoffs_match_window_off_ties(spark):
     assert n_head <= n // 3 and n_head + n_mid <= 2 * n // 3
 
 
+def test_empty_train_split_scores_zero_not_divide_by_zero(spark):
+    """All doc_ids odd -> train half empty -> total = 0.  Every bigram takes
+    the backoff branch, which must yield NULL (folded to score 0), not an
+    ANSI DIVIDE_BY_ZERO (Spark 4 default); the DuckDB oracle NULL-folds the
+    same way."""
+    rows = [(2 * i + 1, "words appear here in every document") for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for mode in ("window", "histogram"):
+        got = lm_score(df, cutoffs=mode).collect()
+        assert len(got) == 6
+        assert all(r["lm_score_ppm"] == 0 for r in got)
+        assert all(r["oov_bigrams"] == r["n_bigrams"] > 0 for r in got)
+
+
 def test_histogram_all_tied_lands_in_one_bucket(spark):
     rows = [(i, "same text every time") for i in range(9)]
     df = spark.createDataFrame(rows, "doc_id long, text string")
