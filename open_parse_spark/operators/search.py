@@ -1,0 +1,125 @@
+"""Lexical retrieval: integer BM25 top-k over the documents table.
+
+The RAG serving stack needs a lexical leg next to the vector ANN families
+(LSH / IVF / PQ in ``operators/similarity.py`` / ``operators/pq.py``); BM25
+(Robertson & Zaragoza 2009) is the standard.  Everything is exact integer
+arithmetic with declared rounding so the DuckDB oracle replays the whole
+chain — corpus stats, query mining, idf, tf normalization, ranking:
+
+- ``k1 = 6/5``, ``b = 3/4`` (the classic 1.2 / 0.75) are kept as exact
+  rationals.  Multiplying the tf-normalization fraction through by
+  ``20 * avgdl`` clears every denominator::
+
+      tf_norm = tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+              = (44 * avgdl * tf) / (20 * avgdl * tf + 6 * avgdl + 18 * dl)
+
+  so ``score_term = (idf_ppm * 44 * avgdl * tf) DIV (20 * avgdl * tf +
+  6 * avgdl + 18 * dl)`` is a single integer floor-division, and the doc
+  score is the sum over query terms.
+- ``idf_ppm = ((n_docs - df) * 1_000_000) DIV (df + 1)`` — the Robertson
+  idf with the log dropped (a log is transcendental, so no engine-exact
+  integer form exists); it preserves the df ordering, which is what the
+  ranking consumes.  Documented proxy, same convention as the integer
+  TF-IDF operator.
+- Queries are mined deterministically from the corpus itself (the
+  ``url_domains`` injection precedent: the synthetic corpus has no query
+  log): the 10 terms whose document frequency is closest to half the
+  corpus (``abs(2*df - n_docs)`` asc, term asc) — maximally discriminative
+  and guaranteed non-empty — paired off into 5 two-term queries.
+
+Scale shape (100 TB): tf is one map-side-combined shuffle on (doc, term);
+df reuses it with a term-key aggregate; the 10 query terms and the 2-row
+corpus stats are broadcast; scoring is a broadcast semi-join on the tf
+relation (no shuffle); the final top-k is a per-query-partition window over
+only the matching docs.  Nothing collects more than 10 rows to the driver.
+Overflow bound: idf_ppm * 44 * avgdl * tf must stay < 2^63 — holds through
+~1e5 avgdl * 1e6 tf corpora; beyond that, drop PPM to 1e3.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from open_parse_spark.functions import text as T
+
+PPM = 1_000_000
+N_QUERY_TERMS = 10
+TERMS_PER_QUERY = 2
+
+
+def bm25_topk(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+) -> DataFrame:
+    """Top-``k`` documents per mined two-term query, integer BM25.
+
+    Output: (query_id, terms, doc_id, score, rank) — ``terms`` is the
+    space-joined query, ``rank`` is 1-based per query by (score desc,
+    doc_id asc).  Only docs matching >= 1 query term are candidates.
+    """
+    base = docs.select(F.col(id_col).alias("doc_id"), T.words(F.col(text_col)).alias("ws"))
+    doc_len = base.select("doc_id", F.size("ws").cast("long").alias("dl"))
+
+    tf = (
+        base.select("doc_id", F.explode("ws").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+
+    stats = doc_len.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("total_words"),
+    )
+
+    # deterministic query mining: 10 terms with df closest to n_docs/2,
+    # paired into 5 queries.  The window runs on exactly N_QUERY_TERMS rows.
+    cand = df_tbl.crossJoin(F.broadcast(stats)).select(
+        "term", "df", F.abs(2 * F.col("df") - F.col("n_docs")).alias("mid_dist")
+    )
+    picked = (
+        cand.orderBy(F.asc("mid_dist"), F.asc("term"))
+        .limit(N_QUERY_TERMS)
+        .withColumn(
+            "qpos",
+            F.row_number().over(Window.orderBy(F.asc("mid_dist"), F.asc("term"))),
+        )
+        .select(
+            "term",
+            "df",
+            F.expr(f"(qpos - 1) DIV {TERMS_PER_QUERY}").alias("query_id"),
+        )
+    )
+    qterms = picked.crossJoin(F.broadcast(stats)).select(
+        "query_id",
+        "term",
+        F.expr(f"((n_docs - df) * {PPM}L) DIV (df + 1)").alias("idf_ppm"),
+    )
+    qnames = qterms.groupBy("query_id").agg(
+        F.array_join(F.array_sort(F.collect_list("term")), " ").alias("terms")
+    )
+
+    scored = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(doc_len, "doc_id")
+        .crossJoin(F.broadcast(stats.select(F.expr("total_words DIV n_docs").alias("avgdl"))))
+        .withColumn(
+            "score_term",
+            F.expr(
+                "(idf_ppm * 44 * avgdl * tf)"
+                " DIV (20 * avgdl * tf + 6 * avgdl + 18 * dl)"
+            ),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("score_term").cast("long").alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .join(F.broadcast(qnames), "query_id")
+        .select("query_id", "terms", "doc_id", "score", "rank")
+    )

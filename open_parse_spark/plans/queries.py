@@ -3331,6 +3331,62 @@ FROM k
 """
 
 
+def q_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical retrieval leg for RAG serving: integer BM25 top-5 per mined
+    two-term query (see operators/search.py for the exact-rational k1/b
+    derivation, the log-free idf proxy, and the 100 TB plan shape —
+    broadcast query terms + per-query-partition window, no global sort).
+    Queries are mined deterministically from the corpus (terms with df
+    closest to n_docs/2), so the gate bites on any corpus."""
+    from open_parse_spark.operators.search import bm25_topk
+
+    return bm25_topk(_tbl(spark, sf_dir, "documents"))
+
+
+SQL_SEARCH_BM25 = """
+WITH w AS (
+  SELECT doc_id, list_transform(regexp_extract_all(coalesce(text, ''), '[A-Za-z0-9]+'), x -> lower(x)) AS ws
+  FROM documents
+), dl AS (
+  SELECT doc_id, len(ws)::BIGINT AS dl FROM w
+), tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(ws) AS term FROM w) GROUP BY 1, 2
+), dft AS (
+  SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1
+), stats AS (
+  SELECT count(*)::BIGINT AS n_docs, coalesce(sum(dl), 0)::BIGINT AS total_words FROM dl
+), picked AS (
+  SELECT term, df,
+         (row_number() OVER (ORDER BY abs(2 * df - n_docs) ASC, term ASC) - 1) // 2 AS query_id
+  FROM dft, stats
+  ORDER BY abs(2 * df - n_docs) ASC, term ASC
+  LIMIT 10
+), qterms AS (
+  SELECT query_id, term, ((n_docs - df) * 1000000) // (df + 1) AS idf_ppm
+  FROM picked, stats
+), qnames AS (
+  SELECT query_id, array_to_string(list_sort(list(term)), ' ') AS terms
+  FROM qterms GROUP BY 1
+), sc AS (
+  SELECT q.query_id, tf.doc_id,
+         sum((q.idf_ppm * 44 * a.avgdl * tf.tf)
+             // (20 * a.avgdl * tf.tf + 6 * a.avgdl + 18 * dl.dl))::BIGINT AS score
+  FROM tf
+  JOIN qterms q USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN (SELECT total_words // n_docs AS avgdl FROM stats) a
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+  FROM sc
+)
+SELECT query_id, terms, doc_id, score, rank
+FROM ranked JOIN qnames USING (query_id)
+WHERE rank <= 5
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3424,6 +3480,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "quality_classifier": (q_quality_classifier, SQL_QUALITY_CLASSIFIER),
     "quality_lm": (q_quality_lm, SQL_QUALITY_LM),
     "quality_c4": (q_quality_c4, SQL_QUALITY_C4),
+    "search_bm25": (q_search_bm25, SQL_SEARCH_BM25),
     "html_blocks": (q_html_blocks, SQL_HTML_BLOCKS),
 }
 
