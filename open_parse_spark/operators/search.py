@@ -123,3 +123,77 @@ def bm25_topk(
         .join(F.broadcast(qnames), "query_id")
         .select("query_id", "terms", "doc_id", "score", "rank")
     )
+
+
+RRF_K = 60  # the standard reciprocal-rank-fusion constant (Cormack 2009)
+
+
+def hybrid_rrf(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    k_leg: int = 20,
+    k: int = 5,
+) -> DataFrame:
+    """Hybrid retrieval: BM25 lexical leg + embedding leg fused by
+    reciprocal-rank fusion, ``rrf_ppm = sum(1_000_000 DIV (60 + rank))``.
+
+    The corpus has no query embeddings, so the vector leg uses
+    pseudo-relevance feedback (Rocchio's classic move): each query's
+    rank-1 BM25 document seeds the leg, ranking all OTHER documents by
+    cosine to that seed's embedding.  A doc present in only one leg takes
+    rrf mass from that leg alone (rank 0 in the output marks absence).
+
+    Scale shape: the lexical leg is ``bm25_topk``; the 5 seed vectors are
+    broadcast against the embeddings scan (at corpus scale the leg swaps to
+    the LSH/IVF/PQ index — same output contract); fusion is a full outer
+    join on (query_id, doc_id) over <= 2*k_leg rows per query and the final
+    window is per-query-partition.
+    """
+    from open_parse_spark.operators.similarity import _as_double, cosine
+
+    lex = bm25_topk(docs, k=k_leg).select(
+        "query_id", "doc_id", F.col("rank").alias("rank_lex")
+    )
+    seeds = lex.where(F.col("rank_lex") == 1).select(
+        "query_id", F.col("doc_id").alias("seed_id")
+    )
+    pseudo = seeds.join(
+        embeddings.select(
+            F.col("vec_id").alias("seed_id"), _as_double(F.col("embedding")).alias("qv")
+        ),
+        "seed_id",
+    )
+    corpus = embeddings.select(
+        F.col("vec_id").alias("doc_id"), _as_double(F.col("embedding")).alias("cv")
+    )
+    wv = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("doc_id"))
+    vec = (
+        F.broadcast(pseudo)
+        .crossJoin(corpus)
+        .where(F.col("doc_id") != F.col("seed_id"))
+        .select("query_id", "doc_id", cosine(F.col("qv"), F.col("cv")).alias("sim"))
+        .withColumn("rank_vec", F.row_number().over(wv))
+        .where(F.col("rank_vec") <= k_leg)
+        .select("query_id", "doc_id", "rank_vec")
+    )
+    fused = (
+        lex.join(vec, ["query_id", "doc_id"], "full_outer")
+        .withColumn(
+            "rrf_ppm",
+            F.expr(f"coalesce({PPM}L DIV ({RRF_K} + rank_lex), 0L)")
+            + F.expr(f"coalesce({PPM}L DIV ({RRF_K} + rank_vec), 0L)"),
+        )
+        .select(
+            "query_id",
+            "doc_id",
+            F.coalesce(F.col("rank_lex"), F.lit(0)).cast("long").alias("rank_lex"),
+            F.coalesce(F.col("rank_vec"), F.lit(0)).cast("long").alias("rank_vec"),
+            F.col("rrf_ppm").cast("long").alias("rrf_ppm"),
+        )
+    )
+    wf = Window.partitionBy("query_id").orderBy(F.desc("rrf_ppm"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(wf))
+        .where(F.col("rank") <= k)
+        .select("query_id", "doc_id", "rank_lex", "rank_vec", "rrf_ppm", "rank")
+    )

@@ -3387,6 +3387,89 @@ WHERE rank <= 5
 """
 
 
+def q_search_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RRF hybrid retrieval: the BM25 lexical leg fused with an embedding
+    leg seeded by pseudo-relevance feedback (each query's rank-1 BM25 doc's
+    embedding), rrf_ppm = sum(1e6 DIV (60 + rank)).  See
+    operators/search.py:hybrid_rrf."""
+    from open_parse_spark.operators.search import hybrid_rrf
+
+    return hybrid_rrf(
+        _tbl(spark, sf_dir, "documents"), _tbl(spark, sf_dir, "embeddings")
+    )
+
+
+SQL_SEARCH_HYBRID = """
+WITH w AS (
+  SELECT doc_id, list_transform(regexp_extract_all(coalesce(text, ''), '[A-Za-z0-9]+'), x -> lower(x)) AS ws
+  FROM documents
+), dl AS (
+  SELECT doc_id, len(ws)::BIGINT AS dl FROM w
+), tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(ws) AS term FROM w) GROUP BY 1, 2
+), dft AS (
+  SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1
+), stats AS (
+  SELECT count(*)::BIGINT AS n_docs, coalesce(sum(dl), 0)::BIGINT AS total_words FROM dl
+), picked AS (
+  SELECT term, df,
+         (row_number() OVER (ORDER BY abs(2 * df - n_docs) ASC, term ASC) - 1) // 2 AS query_id
+  FROM dft, stats
+  ORDER BY abs(2 * df - n_docs) ASC, term ASC
+  LIMIT 10
+), qterms AS (
+  SELECT query_id, term, ((n_docs - df) * 1000000) // (df + 1) AS idf_ppm
+  FROM picked, stats
+), sc AS (
+  SELECT q.query_id, tf.doc_id,
+         sum((q.idf_ppm * 44 * a.avgdl * tf.tf)
+             // (20 * a.avgdl * tf.tf + 6 * a.avgdl + 18 * dl.dl))::BIGINT AS score
+  FROM tf
+  JOIN qterms q USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN (SELECT total_words // n_docs AS avgdl FROM stats) a
+  GROUP BY 1, 2
+), lex AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank_lex
+  FROM sc
+  QUALIFY rank_lex <= 20
+), seeds AS (
+  SELECT query_id, doc_id AS seed_id FROM lex WHERE rank_lex = 1
+), pseudo AS (
+  SELECT s.query_id, s.seed_id, e.embedding::DOUBLE[] AS qv
+  FROM seeds s JOIN embeddings e ON e.vec_id = s.seed_id
+), vecsim AS (
+  SELECT p.query_id, c.vec_id AS doc_id,
+         list_dot_product(p.qv, c.embedding::DOUBLE[]) /
+         (sqrt(list_dot_product(p.qv, p.qv)) *
+          sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))) AS sim
+  FROM pseudo p, embeddings c
+  WHERE c.vec_id <> p.seed_id
+), vec AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, doc_id ASC) AS rank_vec
+  FROM vecsim
+  QUALIFY rank_vec <= 20
+), fused AS (
+  SELECT coalesce(l.query_id, v.query_id) AS query_id,
+         coalesce(l.doc_id, v.doc_id) AS doc_id,
+         coalesce(l.rank_lex, 0)::BIGINT AS rank_lex,
+         coalesce(v.rank_vec, 0)::BIGINT AS rank_vec,
+         (coalesce(1000000 // (60 + l.rank_lex), 0)
+          + coalesce(1000000 // (60 + v.rank_vec), 0))::BIGINT AS rrf_ppm
+  FROM lex l FULL OUTER JOIN vec v
+    ON l.query_id = v.query_id AND l.doc_id = v.doc_id
+)
+SELECT query_id, doc_id, rank_lex, rank_vec, rrf_ppm,
+       rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rrf_ppm DESC, doc_id ASC) AS rank
+  FROM fused
+) WHERE rank <= 5
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3481,6 +3564,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "quality_lm": (q_quality_lm, SQL_QUALITY_LM),
     "quality_c4": (q_quality_c4, SQL_QUALITY_C4),
     "search_bm25": (q_search_bm25, SQL_SEARCH_BM25),
+    "search_hybrid": (q_search_hybrid, SQL_SEARCH_HYBRID),
     "html_blocks": (q_html_blocks, SQL_HTML_BLOCKS),
 }
 

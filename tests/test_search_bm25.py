@@ -114,3 +114,39 @@ def test_deterministic_across_runs(spark):
     a = sorted(map(tuple, bm25_topk(df).collect()))
     b = sorted(map(tuple, bm25_topk(df).collect()))
     assert a == b
+
+
+def test_hybrid_rrf_fusion_consistency(spark):
+    """The fused output must be arithmetically consistent with its own leg
+    ranks (rrf_ppm = sum of 1e6//(60+rank) over present legs, 0 = absent)
+    and with the standalone BM25 leg."""
+    from open_parse_spark.operators.search import RRF_K, hybrid_rrf
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    got = hybrid_rrf(docs, emb).collect()
+    assert got, "expected fused results"
+
+    per_query = {}
+    for r in got:
+        per_query.setdefault(r["query_id"], []).append(r)
+        expected = (1_000_000 // (RRF_K + r["rank_lex"]) if r["rank_lex"] else 0) + (
+            1_000_000 // (RRF_K + r["rank_vec"]) if r["rank_vec"] else 0
+        )
+        assert r["rrf_ppm"] == expected, r
+        assert r["rank_lex"] or r["rank_vec"], "doc in neither leg survived"
+    for qid, rows in per_query.items():
+        rows.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+        # ordering follows (rrf desc, doc_id asc)
+        key = [(-r["rrf_ppm"], r["doc_id"]) for r in rows]
+        assert key == sorted(key)
+
+    # the lexical ranks embedded in the fusion agree with the standalone leg
+    lex = {
+        (r["query_id"], r["doc_id"]): r["rank"]
+        for r in bm25_topk(docs, k=20).collect()
+    }
+    for r in got:
+        if r["rank_lex"]:
+            assert lex[(r["query_id"], r["doc_id"])] == r["rank_lex"]
