@@ -3598,9 +3598,10 @@ CORRECTNESS_WINDOW = [
     # metrics invariant twins (new r4)
     "parse_metrics_check",
     "eval_metrics_check",
-    # transform analogs (2 representatives)
+    # transform analogs (1 representative; op_lead_neighbor rotated out
+    # r4b — the P5/P6 lead-neighbor fold is also pinned by ref-case pytests
+    # and the reference differential — for the new search family)
     "op_spatial_anti_join",
-    "op_lead_neighbor",
     # dedup family (rotated out r4: dedup_fingerprint — near-duplicate of
     # dedup_exact — for the bloom decontamination variant, and dedup_winnow
     # — winnowing is also pytest-guaranteed — for the new graph family)
@@ -3655,6 +3656,8 @@ CORRECTNESS_WINDOW = [
     "conv_dedup",
     "conv_role_stats",
     "export_relations_check",
+    # search / retrieval (new family r4b)
+    "search_bm25",
     # multimodal
     "multimodal_features",
     "multimodal_meta",

@@ -38,7 +38,8 @@ def test_every_family_represented_in_window():
     families = {
         "parse": ["parse_flagship"],
         "metrics_checks": ["parse_metrics_check", "eval_metrics_check"],
-        "transforms": ["op_spatial_anti_join", "op_lead_neighbor"],
+        "transforms": ["op_spatial_anti_join"],
+        "search": ["search_bm25"],
         "dedup": ["dedup_exact", "dedup_minhash", "dedup_simhash",
                   "dedup_components", "dup_spans", "decontaminate",
                   "decontaminate_bloom"],
