@@ -48,6 +48,27 @@ N_QUERY_TERMS = 10
 TERMS_PER_QUERY = 2
 
 
+def doc_postings(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+):
+    """The index's doc-local building blocks: ``tf`` = (doc_id, term, tf)
+    postings and ``doc_len`` = (doc_id, dl) — every corpus-GLOBAL statistic
+    (df, n_docs, avgdl) derives from these at query time.  Doc-local is
+    what makes the index streamable: a micro-batch can emit its own docs'
+    postings with no cross-batch state (``streaming/jobs.py:
+    streaming_bm25_postings``)."""
+    base = docs.select(F.col(id_col).alias("doc_id"), T.words(F.col(text_col)).alias("ws"))
+    doc_len = base.select(
+        "doc_id", F.coalesce(F.size("ws"), F.lit(0)).cast("long").alias("dl")
+    )
+    tf = (
+        base.select("doc_id", F.explode("ws").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    return tf, doc_len
+
+
 def bm25_topk(
     docs: DataFrame,
     text_col: str = "text",
@@ -60,14 +81,13 @@ def bm25_topk(
     space-joined query, ``rank`` is 1-based per query by (score desc,
     doc_id asc).  Only docs matching >= 1 query term are candidates.
     """
-    base = docs.select(F.col(id_col).alias("doc_id"), T.words(F.col(text_col)).alias("ws"))
-    doc_len = base.select("doc_id", F.size("ws").cast("long").alias("dl"))
+    tf, doc_len = doc_postings(docs, text_col, id_col)
+    return bm25_from_postings(tf, doc_len, k=k)
 
-    tf = (
-        base.select("doc_id", F.explode("ws").alias("term"))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
-    )
+
+def bm25_from_postings(tf: DataFrame, doc_len: DataFrame, k: int = 5) -> DataFrame:
+    """Integer BM25 over prebuilt postings — the serving entry for both the
+    batch path and the incrementally maintained streaming index."""
     df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
 
     stats = doc_len.agg(
@@ -118,7 +138,7 @@ def bm25_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
         .join(F.broadcast(qnames), "query_id")
         .select("query_id", "terms", "doc_id", "score", "rank")
@@ -149,7 +169,7 @@ def hybrid_rrf(
     join on (query_id, doc_id) over <= 2*k_leg rows per query and the final
     window is per-query-partition.
     """
-    from open_parse_spark.operators.similarity import _as_double, cosine
+    from open_parse_spark.operators.similarity import _as_double, cosine, norm
 
     lex = bm25_topk(docs, k=k_leg).select(
         "query_id", "doc_id", F.col("rank").alias("rank_lex")
@@ -157,15 +177,19 @@ def hybrid_rrf(
     seeds = lex.where(F.col("rank_lex") == 1).select(
         "query_id", F.col("doc_id").alias("seed_id")
     )
+    # zero-norm vectors (empty docs, hostile rows) have no cosine direction:
+    # exclude them from BOTH sides — a seed without direction contributes no
+    # vector leg (its query fuses from the lexical leg alone), mirrored in
+    # the oracle
     pseudo = seeds.join(
         embeddings.select(
             F.col("vec_id").alias("seed_id"), _as_double(F.col("embedding")).alias("qv")
-        ),
+        ).where(norm(F.col("qv")) > 0),
         "seed_id",
     )
     corpus = embeddings.select(
         F.col("vec_id").alias("doc_id"), _as_double(F.col("embedding")).alias("cv")
-    )
+    ).where(norm(F.col("cv")) > 0)
     wv = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("doc_id"))
     vec = (
         F.broadcast(pseudo)
@@ -193,7 +217,7 @@ def hybrid_rrf(
     )
     wf = Window.partitionBy("query_id").orderBy(F.desc("rrf_ppm"), F.asc("doc_id"))
     return (
-        fused.withColumn("rank", F.row_number().over(wf))
+        fused.withColumn("rank", F.row_number().over(wf).cast("long"))
         .where(F.col("rank") <= k)
         .select("query_id", "doc_id", "rank_lex", "rank_vec", "rrf_ppm", "rank")
     )

@@ -3438,8 +3438,11 @@ WITH w AS (
 ), seeds AS (
   SELECT query_id, doc_id AS seed_id FROM lex WHERE rank_lex = 1
 ), pseudo AS (
+  -- zero-norm seeds have no cosine direction: such a query fuses from the
+  -- lexical leg alone (mirrors the operator's norm(qv) > 0 / norm(cv) > 0)
   SELECT s.query_id, s.seed_id, e.embedding::DOUBLE[] AS qv
   FROM seeds s JOIN embeddings e ON e.vec_id = s.seed_id
+  WHERE list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]) > 0
 ), vecsim AS (
   SELECT p.query_id, c.vec_id AS doc_id,
          list_dot_product(p.qv, c.embedding::DOUBLE[]) /
@@ -3447,6 +3450,7 @@ WITH w AS (
           sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))) AS sim
   FROM pseudo p, embeddings c
   WHERE c.vec_id <> p.seed_id
+    AND list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]) > 0
 ), vec AS (
   SELECT query_id, doc_id,
          row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, doc_id ASC) AS rank_vec

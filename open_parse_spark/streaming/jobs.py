@@ -546,3 +546,63 @@ def streaming_bloom_decontaminate(
         "conv_id string, turn_idx int, n_grams long, bloom_hits long, "
         "bloom_contaminated boolean",
     )
+
+
+def streaming_bm25_postings(
+    spark: SparkSession,
+    input_dir: str,
+    output_path: str,
+    checkpoint_path: str,
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+):
+    """Incremental lexical-index maintenance: each micro-batch of documents
+    emits its own docs' (doc_id, term, tf) postings and (doc_id, dl) doc
+    lengths — the DOC-LOCAL building blocks of BM25 (``operators/search.py:
+    doc_postings``), which is exactly what makes the index streamable with
+    no cross-batch state: every corpus-GLOBAL statistic (df, n_docs, avgdl)
+    derives from the accumulated postings at serving time
+    (``serve_bm25_from_dir``), so documents never need re-scoring when new
+    ones arrive.  Both tables are (epoch)-partitioned with dynamic
+    overwrite, the ``streaming_rag_index`` idempotence pattern: a replayed
+    micro-batch overwrites its own epoch instead of appending duplicates.
+    (As with rag_index, that guards checkpoint-resume replays, which keep
+    epoch numbering; a FRESH-checkpoint rebuild restarts epochs and can
+    batch differently, so point rebuilds at a fresh output dir.)
+    Returns the started StreamingQuery."""
+    from open_parse_spark.operators.search import doc_postings
+
+    reader = spark.readStream.schema(DOCUMENT_DDL)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    docs = reader.parquet(input_dir)
+
+    def write_batch(batch_df, epoch_id):
+        tf, dl = doc_postings(batch_df)
+        for frame, sub in ((tf, "postings"), (dl, "doclen")):
+            (
+                frame.withColumn("epoch", F.lit(int(epoch_id)))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("epoch")
+                .parquet(f"{output_path}/{sub}")
+            )
+
+    writer = (
+        docs.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def serve_bm25_from_dir(spark: SparkSession, index_path: str, k: int = 5) -> DataFrame:
+    """Query the incrementally built postings: identical output contract to
+    the batch ``bm25_topk`` over the same accumulated corpus (equality
+    pinned in tests/test_streaming_bm25.py)."""
+    from open_parse_spark.operators.search import bm25_from_postings
+
+    tf = spark.read.parquet(f"{index_path}/postings").select("doc_id", "term", "tf")
+    dl = spark.read.parquet(f"{index_path}/doclen").select("doc_id", "dl")
+    return bm25_from_postings(tf, dl, k=k)
