@@ -93,7 +93,7 @@ def lm_score(
     id_col: str = "doc_id",
     train_mod: int = 2,
     train_rem: int = 0,
-    cutoffs: str = "window",
+    cutoffs: str = "histogram",
 ) -> DataFrame:
     """Score every document with the half-split bigram model and bucket it
     CCNet-style into head/middle/tail perplexity terciles (CCNet keeps the
@@ -108,20 +108,23 @@ def lm_score(
 
     ``cutoffs`` picks the bucketing strategy:
 
-    - ``"window"`` (default, the oracle semantics): exact score terciles by
-      integer rank arithmetic — ``row_number`` over (score desc, doc_id)
-      with ``3*rank <= n`` / ``<= 2n`` cutoffs, deterministic under ties.
-      The rank window is a GLOBAL sort (single-partition exchange) — exact
-      at test scale, wrong shape at 100 TB.
-    - ``"histogram"`` (the scale path): scores are integers in [0, 1e6]
-      ppm, so ``groupBy(score).count()`` is <= 1,000,001 rows REGARDLESS of
-      corpus size; fold the histogram's cumulative counts driver-side into
-      two cutoff VALUES and bucket with a broadcast map-only comparison —
-      one map-side-combined shuffle of bounded width, no global sort.
-      Under ties it differs from "window" by design: equal scores always
-      land in the same bucket (CCNet buckets by score value), so bucket
-      sizes are terciles up to tie mass.  ``tests/test_lm_quality.py``
-      pins histogram == window wherever the cutoff scores are untied.
+    - ``"histogram"`` (default — the scale path): scores are integers in
+      [0, 1e6] ppm, so ``groupBy(score).count()`` is <= 1,000,001 rows
+      REGARDLESS of corpus size; the histogram is folded (lazily, fully
+      JVM-side) into two cutoff VALUES that are broadcast back for a
+      map-only comparison — one map-side-combined shuffle of bounded
+      width, no global sort, no unpartitioned window anywhere in the
+      plan (pinned by ``tests/test_plan_shapes.py``).  Under ties it
+      differs from "window" by design: equal scores always land in the
+      same bucket (CCNet buckets by score value), so bucket sizes are
+      terciles up to tie mass.  ``tests/test_lm_quality.py`` pins
+      histogram == window wherever the cutoff scores are untied.
+    - ``"window"`` (the exact rank-tercile oracle semantics): integer rank
+      arithmetic — ``row_number`` over (score desc, doc_id) with
+      ``3*rank <= n`` / ``<= 2n`` cutoffs, deterministic under ties.  The
+      rank window is a GLOBAL sort (single-partition exchange) — exact at
+      test scale, wrong shape at 100 TB; it exists for the DuckDB oracle
+      twin (``q_quality_lm``) and tie-sensitive tests, not for production.
     """
     from pyspark.sql.window import Window
     uni, bi, total = train_bigram_counts(
@@ -204,48 +207,65 @@ def lm_score(
 
 
 def _bucket_by_histogram(scored_docs: DataFrame) -> DataFrame:
-    """Tercile bucketing via the bounded integer-score histogram.
+    """Tercile bucketing via the bounded integer-score histogram — LAZY.
 
     The window form puts ranks 1..floor(n/3) in head and up to floor(2n/3)
     in middle; with untied scores that equals ``score > c1 -> head`` /
     ``score > c2 -> middle`` where c1/c2 are the scores AT descending ranks
-    floor(n/3)+1 and floor(2n/3)+1.  Those are the broadcast cutoffs; a tie
-    group straddling a cutoff lands whole in the worse bucket (CCNet buckets
-    by score value).  Empty input returns empty.  The histogram fold
-    collects <= 1e6+1 rows — bounded by the score DOMAIN, not the corpus.
+    floor(n/3)+1 and floor(2n/3)+1.  The histogram (<= 1e6+1 rows — bounded
+    by the score DOMAIN, not the corpus) is sorted descending into ONE
+    array row and folded with a higher-order ``aggregate`` into the two
+    cutoff values, which broadcast back onto the scored docs.  No collect,
+    no persist, no Window node: the whole thing is one lazy plan, and the
+    scoring subtree's shuffles are computed once via Spark's ReuseExchange
+    (the histogram branch and the output branch share them).  A tie group
+    straddling a cutoff lands whole in the worse bucket (CCNet buckets by
+    score value).  Empty input returns empty (cutoffs fold to NULL and
+    ``score > NULL`` is never true, so the bucket expression is total).
     """
-    # the histogram fold consumes scored_docs once and the returned frame
-    # consumes it again — persist so the train+score DAG (two count
-    # shuffles + four joins) runs once, not twice (review finding).  Note
-    # the collect fires at call time, making this mode eager.
-    scored_docs = scored_docs.persist()
-    hist = (
-        scored_docs.groupBy("lm_score_ppm")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .orderBy(F.desc("lm_score_ppm"))
-        .collect()
+    hist = scored_docs.groupBy("lm_score_ppm").agg(
+        F.count(F.lit(1)).alias("cnt")
     )
-    n = sum(r["cnt"] for r in hist)
-    if n == 0:
-        return scored_docs.withColumn("bucket", F.lit("tail")).withColumn(
-            "keep", F.lit(False)
+    cuts = (
+        hist.agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(F.col("lm_score_ppm").alias("s"), F.col("cnt"))
+                ),
+                asc=False,
+            ).alias("h")
         )
-    r1 = n // 3 + 1  # descending rank of the first row NOT in head
-    r2 = 2 * n // 3 + 1
-    c1 = c2 = None
-    cum = 0
-    for row in hist:
-        cum += row["cnt"]
-        if c1 is None and cum >= r1:
-            c1 = row["lm_score_ppm"]
-        if c2 is None and cum >= r2:
-            c2 = row["lm_score_ppm"]
-            break
+        .withColumn("n", F.expr("aggregate(h, 0L, (a, x) -> a + x.cnt)"))
+        .select(
+            F.expr(
+                """
+                aggregate(
+                  h,
+                  named_struct('cum', 0L,
+                               'c1', CAST(NULL AS BIGINT),
+                               'c2', CAST(NULL AS BIGINT)),
+                  (acc, x) -> named_struct(
+                    'cum', acc.cum + x.cnt,
+                    'c1', CASE WHEN acc.c1 IS NULL
+                                AND acc.cum + x.cnt >= n DIV 3 + 1
+                               THEN x.s ELSE acc.c1 END,
+                    'c2', CASE WHEN acc.c2 IS NULL
+                                AND acc.cum + x.cnt >= (2 * n) DIV 3 + 1
+                               THEN x.s ELSE acc.c2 END)
+                ) AS cuts
+                """
+            )
+        )
+        .select(F.col("cuts.c1").alias("_lm_c1"), F.col("cuts.c2").alias("_lm_c2"))
+    )
     bucket = (
-        F.when(F.col("lm_score_ppm") > F.lit(c1), F.lit("head"))
-        .when(F.col("lm_score_ppm") > F.lit(c2), F.lit("middle"))
+        F.when(F.col("lm_score_ppm") > F.col("_lm_c1"), F.lit("head"))
+        .when(F.col("lm_score_ppm") > F.col("_lm_c2"), F.lit("middle"))
         .otherwise(F.lit("tail"))
     )
-    return scored_docs.withColumn("bucket", bucket).withColumn(
-        "keep", F.col("bucket") != F.lit("tail")
+    return (
+        scored_docs.crossJoin(F.broadcast(cuts))
+        .withColumn("bucket", bucket)
+        .withColumn("keep", F.col("bucket") != F.lit("tail"))
+        .drop("_lm_c1", "_lm_c2")
     )

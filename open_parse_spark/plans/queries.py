@@ -798,24 +798,30 @@ WHERE NOT EXISTS (
 
 def q_op_reading_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P0 reading-order sort analog (schemas.py:579-598): deterministic rank
-    by a (group, -size, id) key."""
+    by a (-size, id) key WITHIN each source group — mirroring the real P0,
+    which sorts nodes within one document, never across the corpus.  The
+    window is partitioned by ``source`` so the exchange is a hash
+    partition, not a single-partition global sort (VERDICT r4 ask #9; the
+    corpus-wide ordinal the old form produced is exactly the shape the
+    repo's plan discipline forbids)."""
     from pyspark.sql.window import Window
 
     docs = _tbl(spark, sf_dir, "documents")
-    w = Window.orderBy(
-        F.col("source").asc_nulls_first(),
+    w = Window.partitionBy("source").orderBy(
         F.col("n_chars").desc_nulls_last(),
         F.col("doc_id"),
     )
     return docs.select(
-        "doc_id", F.row_number().over(w).cast("long").alias("rord")
+        "doc_id",
+        F.col("source"),
+        F.row_number().over(w).cast("long").alias("rord"),
     )
 
 
 SQL_OP_READING_ORDER = """
-SELECT doc_id,
+SELECT doc_id, source,
        row_number() OVER (
-         ORDER BY source ASC NULLS FIRST, n_chars DESC NULLS LAST, doc_id
+         PARTITION BY source ORDER BY n_chars DESC NULLS LAST, doc_id
        ) AS rord
 FROM documents
 """
@@ -1669,9 +1675,12 @@ def q_domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     injected (same pattern as `url_domains`); edge src is a deterministic
     per-doc site, dst is the EXTRACTED domain of each injected URL — the
     gate checks extraction, graph assembly and all 5 integer power-iteration
-    rounds.  Dangling-mass-dropping variant (operators/graph.py)."""
-    from open_parse_spark.operators.graph import pagerank
-    from pyspark.sql.window import Window
+    rounds.  Dangling-mass-dropping variant (operators/graph.py).  Output
+    is the top-100 domains via ``top_ranked`` (TakeOrderedAndProject — no
+    global sort; the row_number runs over <= 100 rows).  The synthetic
+    graph has 15 domains, so the top-100 IS the full relation here and the
+    oracle replays the same cap."""
+    from open_parse_spark.operators.graph import pagerank, top_ranked
 
     docs = _tbl(spark, sf_dir, "documents")
     injected = docs.select(
@@ -1699,10 +1708,8 @@ def q_domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         damping_den=_PR_DEN,
         scale=_PR_SCALE,
     )
-    w = Window.orderBy(F.desc("rank"), F.asc("node"))
-    return (
-        ranks.withColumn("rank_pos", F.row_number().over(w).cast("long"))
-        .select(F.col("node").alias("domain"), F.col("rank"), "rank_pos")
+    return top_ranked(ranks, k=100).select(
+        F.col("node").alias("domain"), F.col("rank"), "rank_pos"
     )
 
 
@@ -1755,9 +1762,11 @@ WITH t AS (
   SELECT node, ({scale} // nn.n)::BIGINT AS rank FROM nodes CROSS JOIN nn
 ),
 {steps}
-SELECT node AS domain, rank,
-       row_number() OVER (ORDER BY rank DESC, node ASC)::BIGINT AS rank_pos
-FROM pr{_PR_ITER}
+SELECT domain, rank, rank_pos FROM (
+  SELECT node AS domain, rank,
+         row_number() OVER (ORDER BY rank DESC, node ASC)::BIGINT AS rank_pos
+  FROM pr{_PR_ITER}
+) WHERE rank_pos <= 100
 """
 
 
@@ -3203,11 +3212,13 @@ def q_quality_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     genuinely exercises the backoff branch), then bucket into CCNet's
     head/middle/tail score terciles (tail dropped).  See operators/lm.py
     for the 100 TB plan-shape notes (Zipf-key skew handled by AQE; model
-    side one row per key; tercile cutoffs broadcast from a sample at
-    scale)."""
+    side one row per key).  ``cutoffs="window"`` is pinned HERE because the
+    DuckDB oracle replays exact row_number rank-tercile semantics; the
+    operator's default is the scale path (``"histogram"`` — broadcast
+    cutoffs, no global sort)."""
     from open_parse_spark.operators.lm import lm_score
 
-    return lm_score(_tbl(spark, sf_dir, "documents"))
+    return lm_score(_tbl(spark, sf_dir, "documents"), cutoffs="window")
 
 
 SQL_QUALITY_LM = """
@@ -3363,15 +3374,16 @@ WITH w AS (
   ORDER BY abs(2 * df - n_docs) ASC, term ASC
   LIMIT 10
 ), qterms AS (
-  SELECT query_id, term, ((n_docs - df) * 1000000) // (df + 1) AS idf_ppm
+  SELECT query_id, term,
+         least(((n_docs - df) * 1000000) // (df + 1), 1000000000) AS idf_ppm
   FROM picked, stats
 ), qnames AS (
   SELECT query_id, array_to_string(list_sort(list(term)), ' ') AS terms
   FROM qterms GROUP BY 1
 ), sc AS (
   SELECT q.query_id, tf.doc_id,
-         sum((q.idf_ppm * 44 * a.avgdl * tf.tf)
-             // (20 * a.avgdl * tf.tf + 6 * a.avgdl + 18 * dl.dl))::BIGINT AS score
+         sum((q.idf_ppm * ((1000000 * 44 * a.avgdl * tf.tf)
+             // (20 * a.avgdl * tf.tf + 6 * a.avgdl + 18 * dl.dl))) // 1000000)::BIGINT AS score
   FROM tf
   JOIN qterms q USING (term)
   JOIN dl USING (doc_id)
@@ -3419,12 +3431,13 @@ WITH w AS (
   ORDER BY abs(2 * df - n_docs) ASC, term ASC
   LIMIT 10
 ), qterms AS (
-  SELECT query_id, term, ((n_docs - df) * 1000000) // (df + 1) AS idf_ppm
+  SELECT query_id, term,
+         least(((n_docs - df) * 1000000) // (df + 1), 1000000000) AS idf_ppm
   FROM picked, stats
 ), sc AS (
   SELECT q.query_id, tf.doc_id,
-         sum((q.idf_ppm * 44 * a.avgdl * tf.tf)
-             // (20 * a.avgdl * tf.tf + 6 * a.avgdl + 18 * dl.dl))::BIGINT AS score
+         sum((q.idf_ppm * ((1000000 * 44 * a.avgdl * tf.tf)
+             // (20 * a.avgdl * tf.tf + 6 * a.avgdl + 18 * dl.dl))) // 1000000)::BIGINT AS score
   FROM tf
   JOIN qterms q USING (term)
   JOIN dl USING (doc_id)

@@ -85,7 +85,7 @@ CRAFTED = [
 
 def test_crafted_branches_and_buckets(spark):
     df = spark.createDataFrame(CRAFTED, "doc_id long, text string")
-    got = {r["doc_id"]: r.asDict() for r in lm_score(df).collect()}
+    got = {r["doc_id"]: r.asDict() for r in lm_score(df, cutoffs="window").collect()}
     want = _replay(CRAFTED)
     assert set(got) == set(want)
     for doc_id in want:
@@ -108,7 +108,7 @@ def test_real_corpus_replay(spark):
         "SELECT doc_id, text FROM '/root/testdata/sf0.001/documents.parquet' ORDER BY doc_id"
     ).fetchall()
     df = spark.createDataFrame(rows, "doc_id long, text string")
-    got = {r["doc_id"]: r.asDict() for r in lm_score(df).collect()}
+    got = {r["doc_id"]: r.asDict() for r in lm_score(df, cutoffs="window").collect()}
     want = _replay(rows)
     assert got.keys() == want.keys()
     mismatches = [
@@ -125,7 +125,7 @@ def test_histogram_cutoffs_match_window_off_ties(spark):
     group straddling a cutoff lands whole in the worse bucket."""
     rows = CRAFTED
     df = spark.createDataFrame(rows, "doc_id long, text string")
-    win = {r["doc_id"]: r.asDict() for r in lm_score(df).collect()}
+    win = {r["doc_id"]: r.asDict() for r in lm_score(df, cutoffs="window").collect()}
     hist = {r["doc_id"]: r.asDict() for r in lm_score(df, cutoffs="histogram").collect()}
     assert set(win) == set(hist)
     # scores identical between modes; derive the cutoffs exactly as the
@@ -172,7 +172,7 @@ def test_tie_break_is_deterministic(spark):
     rows = [(i, "same text every time") for i in range(9)]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = sorted(
-        ((r["doc_id"], r["bucket"]) for r in lm_score(df).collect()),
+        ((r["doc_id"], r["bucket"]) for r in lm_score(df, cutoffs="window").collect()),
     )
     # identical scores -> buckets assigned purely by doc_id order
     assert [b for _, b in got] == ["head"] * 3 + ["middle"] * 3 + ["tail"] * 3

@@ -12,6 +12,7 @@ import re
 from collections import Counter
 
 from open_parse_spark.operators.search import (
+    IDF_CAP_PPM,
     N_QUERY_TERMS,
     PPM,
     TERMS_PER_QUERY,
@@ -38,7 +39,8 @@ def _replay(rows, k=5):
     queries = {}
     for i, (term, dfv) in enumerate(mined):
         qid = i // TERMS_PER_QUERY
-        queries.setdefault(qid, []).append((term, ((n_docs - dfv) * PPM) // (dfv + 1)))
+        idf = min(((n_docs - dfv) * PPM) // (dfv + 1), IDF_CAP_PPM)
+        queries.setdefault(qid, []).append((term, idf))
 
     out = []
     for qid, terms in queries.items():
@@ -50,7 +52,10 @@ def _replay(rows, k=5):
                 t = tf[d].get(term, 0)
                 if t:
                     hit = True
-                    s += (idf * 44 * avgdl * t) // (20 * avgdl * t + 6 * avgdl + 18 * dl[d])
+                    tfn_ppm = (PPM * 44 * avgdl * t) // (
+                        20 * avgdl * t + 6 * avgdl + 18 * dl[d]
+                    )
+                    s += (idf * tfn_ppm) // PPM
             if hit:
                 scores[d] = s
         ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
@@ -150,3 +155,90 @@ def test_hybrid_rrf_fusion_consistency(spark):
     for r in got:
         if r["rank_lex"]:
             assert lex[(r["query_id"], r["doc_id"])] == r["rank_lex"]
+
+
+def _replay_user_queries(rows, qstrings, k=5):
+    """Same imperative model, but with user query strings instead of the
+    df-midpoint mining (distinct tokens per query, query_id = position)."""
+    ws = {d: [w.lower() for w in WORD_RE.findall(t or "")] for d, t in rows}
+    dl = {d: len(w) for d, w in ws.items()}
+    tf = {d: Counter(w) for d, w in ws.items()}
+    df = Counter()
+    for d in ws:
+        for term in set(ws[d]):
+            df[term] += 1
+    n_docs = len(ws)
+    avgdl = sum(dl.values()) // n_docs
+
+    out = []
+    for qid, q in enumerate(qstrings):
+        terms = sorted({w.lower() for w in WORD_RE.findall(q or "")})
+        scores = {}
+        for d in ws:
+            s = 0
+            hit = False
+            for term in terms:
+                t = tf[d].get(term, 0)
+                if t:
+                    hit = True
+                    dfv = df[term]
+                    idf = min(((n_docs - dfv) * PPM) // (dfv + 1), IDF_CAP_PPM)
+                    tfn_ppm = (PPM * 44 * avgdl * t) // (
+                        20 * avgdl * t + 6 * avgdl + 18 * dl[d]
+                    )
+                    s += (idf * tfn_ppm) // PPM
+            if hit:
+                scores[d] = s
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        for r, (d, s) in enumerate(ranked, start=1):
+            out.append((qid, " ".join(terms), d, s, r))
+    return sorted(out)
+
+
+def test_user_supplied_queries_differential(spark):
+    """bm25_topk(queries=[...]) bypasses mining: crafted queries (multi-term,
+    repeated token, OOV token, fully-OOV query) verified against the
+    dict-replay model (r4 VERDICT ask #6)."""
+    qs = [
+        "alpha beta",            # both mid-df
+        "beta beta the",         # repeated token collapses; stopword-ish term
+        "alpha zzznotincorpus",  # one OOV term contributes nothing
+        "zzznotincorpus qqq",    # fully OOV -> no rows for this query_id
+        "GAMMA",                 # case folding
+    ]
+    df = spark.createDataFrame(CRAFTED, "doc_id long, text string")
+    got = sorted(
+        (r["query_id"], r["terms"], r["doc_id"], r["score"], r["rank"])
+        for r in bm25_topk(df, queries=qs).collect()
+    )
+    want = _replay_user_queries(CRAFTED, qs)
+    assert got == want
+    qids = {g[0] for g in got}
+    assert 3 not in qids          # fully-OOV query matched nothing
+    assert {0, 1, 2, 4} <= qids   # every other query returned results
+    # DataFrame form is equivalent to the list form
+    qdf = spark.createDataFrame(list(enumerate(qs)), "query_id long, text string")
+    got_df = sorted(
+        (r["query_id"], r["terms"], r["doc_id"], r["score"], r["rank"])
+        for r in bm25_topk(df, queries=qdf).collect()
+    )
+    assert got_df == got
+
+
+def test_idf_cap_applies_on_near_unique_vocabulary(spark):
+    """r4 ADVICE: a corpus of (nearly) unique terms mines df=1 terms whose
+    uncapped idf_ppm ~ n_docs * 5e5 grows without bound; the cap keeps the
+    score arithmetic int64-safe.  2500 docs -> uncapped idf would be
+    ~1.25e9 > IDF_CAP_PPM, so this corpus genuinely exercises the clamp
+    (the replay model clamps identically)."""
+    rows = [(i, f"uniqterm{i} filler{i}") for i in range(2500)]
+    n_docs = len(rows)
+    assert ((n_docs - 1) * PPM) // 2 > IDF_CAP_PPM  # clamp actually bites
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (r["query_id"], r["terms"], r["doc_id"], r["score"], r["rank"])
+        for r in bm25_topk(df).collect()
+    )
+    want = _replay(rows)
+    assert got == want
+    assert got  # mined queries matched their own docs
