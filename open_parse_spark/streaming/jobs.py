@@ -600,9 +600,25 @@ def streaming_bm25_postings(
 def serve_bm25_from_dir(spark: SparkSession, index_path: str, k: int = 5) -> DataFrame:
     """Query the incrementally built postings: identical output contract to
     the batch ``bm25_topk`` over the same accumulated corpus (equality
-    pinned in tests/test_streaming_bm25.py)."""
+    pinned in tests/test_streaming_bm25.py).
+
+    Re-crawled documents: a doc_id re-arriving in a later micro-batch lands
+    in a later epoch, so the raw index holds BOTH versions' postings.
+    Serving keeps only each doc's max-epoch rows (last-write-wins, one
+    shuffle-side aggregate on doc_id + two co-keyed joins), so df, n_docs
+    and total_words count each doc exactly once (r4 ADVICE — the previous
+    read double-counted updates).  Assumed: a doc_id appears at most once
+    per micro-batch (within one epoch, ``doc_postings`` would sum duplicate
+    rows' tf into one inflated posting)."""
     from open_parse_spark.operators.search import bm25_from_postings
 
-    tf = spark.read.parquet(f"{index_path}/postings").select("doc_id", "term", "tf")
-    dl = spark.read.parquet(f"{index_path}/doclen").select("doc_id", "dl")
+    tf_raw = spark.read.parquet(f"{index_path}/postings").select(
+        "doc_id", "term", "tf", "epoch"
+    )
+    dl_raw = spark.read.parquet(f"{index_path}/doclen").select(
+        "doc_id", "dl", "epoch"
+    )
+    latest = dl_raw.groupBy("doc_id").agg(F.max("epoch").alias("epoch"))
+    tf = tf_raw.join(latest, ["doc_id", "epoch"]).select("doc_id", "term", "tf")
+    dl = dl_raw.join(latest, ["doc_id", "epoch"]).select("doc_id", "dl")
     return bm25_from_postings(tf, dl, k=k)
