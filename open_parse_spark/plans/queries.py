@@ -3604,7 +3604,14 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
 #   pinned by byte goldens + the independent reference differential;
 #   op_spatial_anti_join and op_lead_neighbor stay as the two SQL-checked
 #   transform representatives);
-# - redundant same-family stats variants leave last.
+# - redundant same-family stats variants leave last;
+# - rotations are STAGGERED (r4 ADVICE): a pinned query leaves only one
+#   round AFTER its replacement was admitted, so every replacement pair
+#   coexists in at least one pinned driver baseline.  (r4b paired the
+#   quality_lm/search_bm25 admissions with the op_lead_neighbor/
+#   text_quality evictions in one change — op_lead_neighbor is re-admitted
+#   r5, restoring the two-representative transforms rule; conv_role_stats
+#   leaves instead, having coexisted with everything here since r2.)
 #
 # Out-of-window queries remain fully registered and green — the local gate
 # (`tools/check_oracles.py`, run at every round close) covers them; only the
@@ -3615,10 +3622,11 @@ CORRECTNESS_WINDOW = [
     # metrics invariant twins (new r4)
     "parse_metrics_check",
     "eval_metrics_check",
-    # transform analogs (1 representative; op_lead_neighbor rotated out
-    # r4b — the P5/P6 lead-neighbor fold is also pinned by ref-case pytests
-    # and the reference differential — for the new search family)
+    # transform analogs (2 representatives per policy; op_lead_neighbor
+    # re-admitted r5 after the r4b rotation briefly dropped the family to
+    # one rep)
     "op_spatial_anti_join",
+    "op_lead_neighbor",
     # dedup family (rotated out r4: dedup_fingerprint — near-duplicate of
     # dedup_exact — for the bloom decontamination variant, and dedup_winnow
     # — winnowing is also pytest-guaranteed — for the new graph family)
@@ -3668,10 +3676,11 @@ CORRECTNESS_WINDOW = [
     "events_hourly",
     "events_sessionize",
     "events_asof_join",
-    # conversations
+    # conversations (conv_role_stats rotated out r5 for op_lead_neighbor's
+    # re-admission: a plain role-pivot groupBy, redundant next to the three
+    # remaining reps, pinned green r2-r4)
     "conv_transcript_assembly",
     "conv_dedup",
-    "conv_role_stats",
     "export_relations_check",
     # search / retrieval (new family r4b)
     "search_bm25",

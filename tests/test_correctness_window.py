@@ -38,7 +38,7 @@ def test_every_family_represented_in_window():
     families = {
         "parse": ["parse_flagship"],
         "metrics_checks": ["parse_metrics_check", "eval_metrics_check"],
-        "transforms": ["op_spatial_anti_join"],
+        "transforms": ["op_spatial_anti_join", "op_lead_neighbor"],
         "search": ["search_bm25"],
         "dedup": ["dedup_exact", "dedup_minhash", "dedup_simhash",
                   "dedup_components", "dup_spans", "decontaminate",
