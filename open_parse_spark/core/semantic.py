@@ -6,7 +6,11 @@ The reference's only RPC is OpenAI embeddings (batch 256, re-embedding all
 node texts every fixpoint iteration, :40-59,86-92).  That is not reproducible
 offline, so the default client here is a deterministic local hashing
 embedder; an OpenAI-compatible client can be plugged in via the same
-``embed_many`` interface.  The merge loop itself is replicated exactly —
+``embed_many`` interface, and ``operators/embed_torch.py`` provides the
+import-guarded REAL-MODEL client (executor-singleton transformer encoder,
+same contract, hashing fallback via ``get_embedder``) for environments
+where torch exists.  Every oracle and the reference differential pin the
+hashing embedder — the real client changes vectors, not semantics.  The merge loop itself is replicated exactly —
 including the quirk that a merged node keeps its pre-merge embedding until
 the next outer iteration re-embeds everything (:104-109).
 """
