@@ -217,6 +217,9 @@ def hybrid_rrf(
     embeddings: DataFrame,
     k_leg: int = 20,
     k: int = 5,
+    leg: str = "exact",
+    queries: "DataFrame | list[str] | None" = None,
+    ann_params: "dict | None" = None,
 ) -> DataFrame:
     """Hybrid retrieval: BM25 lexical leg + embedding leg fused by
     reciprocal-rank fusion, ``rrf_ppm = sum(1_000_000 DIV (60 + rank))``.
@@ -227,43 +230,64 @@ def hybrid_rrf(
     cosine to that seed's embedding.  A doc present in only one leg takes
     rrf mass from that leg alone (rank 0 in the output marks absence).
 
-    Scale shape: the lexical leg is ``bm25_topk``; the 5 seed vectors are
-    broadcast against the embeddings scan (at corpus scale the leg swaps to
-    the LSH/IVF/PQ index — same output contract); fusion is a full outer
-    join on (query_id, doc_id) over <= 2*k_leg rows per query and the final
+    ``leg`` picks the vector-leg implementation (VERDICT r4 ask #5):
+
+    - ``"exact"`` (default, the oracle semantics): broadcast seed vectors
+      against the full embeddings scan — exact cosine top-``k_leg``.
+      Correct at test scale; a full corpus pass per query batch at 100 TB.
+    - ``"lsh"`` / ``"ivf"`` / ``"pq"``: the corresponding ANN index from
+      ``operators/similarity.py`` / ``operators/pq.py`` — bucket-pruned
+      probes instead of a corpus scan, same (query_id, doc_id, rank_vec)
+      output contract.  Approximate: fusion quality vs the exact leg is
+      pinned by a recall-bound pytest at sf0.01
+      (``tests/test_search_bm25.py``).  Extra knobs (num_tables,
+      n_centroids, ...) pass through ``ann_params``.
+
+    ``queries`` passes through to :func:`bm25_topk` — user query strings
+    drive BOTH legs (the seeds follow the lexical top-1).
+
+    Scale shape: the lexical leg is ``bm25_topk``; seed vectors are always
+    driver-small (one per query) and broadcast; fusion is a full outer join
+    on (query_id, doc_id) over <= 2*k_leg rows per query and the final
     window is per-query-partition.
     """
     from open_parse_spark.operators.similarity import _as_double, cosine, norm
 
-    lex = bm25_topk(docs, k=k_leg).select(
+    lex = bm25_topk(docs, k=k_leg, queries=queries).select(
         "query_id", "doc_id", F.col("rank").alias("rank_lex")
     )
     seeds = lex.where(F.col("rank_lex") == 1).select(
         "query_id", F.col("doc_id").alias("seed_id")
     )
-    # zero-norm vectors (empty docs, hostile rows) have no cosine direction:
-    # exclude them from BOTH sides — a seed without direction contributes no
-    # vector leg (its query fuses from the lexical leg alone), mirrored in
-    # the oracle
-    pseudo = seeds.join(
-        embeddings.select(
-            F.col("vec_id").alias("seed_id"), _as_double(F.col("embedding")).alias("qv")
-        ).where(norm(F.col("qv")) > 0),
-        "seed_id",
-    )
-    corpus = embeddings.select(
-        F.col("vec_id").alias("doc_id"), _as_double(F.col("embedding")).alias("cv")
-    ).where(norm(F.col("cv")) > 0)
-    wv = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("doc_id"))
-    vec = (
-        F.broadcast(pseudo)
-        .crossJoin(corpus)
-        .where(F.col("doc_id") != F.col("seed_id"))
-        .select("query_id", "doc_id", cosine(F.col("qv"), F.col("cv")).alias("sim"))
-        .withColumn("rank_vec", F.row_number().over(wv))
-        .where(F.col("rank_vec") <= k_leg)
-        .select("query_id", "doc_id", "rank_vec")
-    )
+    if leg == "exact":
+        # zero-norm vectors (empty docs, hostile rows) have no cosine
+        # direction: exclude them from BOTH sides — a seed without direction
+        # contributes no vector leg (its query fuses from the lexical leg
+        # alone), mirrored in the oracle
+        pseudo = seeds.join(
+            embeddings.select(
+                F.col("vec_id").alias("seed_id"),
+                _as_double(F.col("embedding")).alias("qv"),
+            ).where(norm(F.col("qv")) > 0),
+            "seed_id",
+        )
+        corpus = embeddings.select(
+            F.col("vec_id").alias("doc_id"), _as_double(F.col("embedding")).alias("cv")
+        ).where(norm(F.col("cv")) > 0)
+        wv = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("doc_id"))
+        vec = (
+            F.broadcast(pseudo)
+            .crossJoin(corpus)
+            .where(F.col("doc_id") != F.col("seed_id"))
+            .select(
+                "query_id", "doc_id", cosine(F.col("qv"), F.col("cv")).alias("sim")
+            )
+            .withColumn("rank_vec", F.row_number().over(wv))
+            .where(F.col("rank_vec") <= k_leg)
+            .select("query_id", "doc_id", "rank_vec")
+        )
+    else:
+        vec = _ann_vector_leg(embeddings, seeds, k_leg, leg, ann_params or {})
     fused = (
         lex.join(vec, ["query_id", "doc_id"], "full_outer")
         .withColumn(
@@ -284,4 +308,60 @@ def hybrid_rrf(
         fused.withColumn("rank", F.row_number().over(wf).cast("long"))
         .where(F.col("rank") <= k)
         .select("query_id", "doc_id", "rank_lex", "rank_vec", "rrf_ppm", "rank")
+    )
+
+
+def _ann_vector_leg(
+    embeddings: DataFrame,
+    seeds: DataFrame,
+    k_leg: int,
+    leg: str,
+    ann_params: dict,
+) -> DataFrame:
+    """The indexed vector leg: seed vectors -> ANN top-``k_leg`` neighbors,
+    mapped back to query_ids.  The ANN families already exclude the seed
+    itself (their ``query_id != neighbor_id`` guard, keyed here by seed_id)
+    and emit 1-based ranks; two query_ids sharing a seed doc rank-share its
+    neighbor list (the seed set is deduped before probing)."""
+    from open_parse_spark.operators.similarity import (
+        _as_double,
+        ivf_topk,
+        lsh_topk,
+        norm,
+    )
+
+    seed_vecs = (
+        embeddings.join(
+            seeds.select(F.col("seed_id").alias("vec_id")).distinct(), "vec_id"
+        )
+        .select("vec_id", "embedding")
+        # same zero-norm guard as the exact leg: a direction-less seed
+        # contributes no vector leg
+        .where(norm(_as_double(F.col("embedding"))) > 0)
+    )
+    if leg == "lsh":
+        ann = lsh_topk(embeddings, seed_vecs, k=k_leg, **ann_params)
+    elif leg == "ivf":
+        ann = ivf_topk(embeddings, seed_vecs, k=k_leg, **ann_params)
+    elif leg == "pq":
+        from open_parse_spark.operators.pq import pq_topk_quantized
+
+        ann = pq_topk_quantized(embeddings, seed_vecs, k=k_leg, **ann_params)
+    else:
+        raise ValueError(
+            f"leg must be 'exact', 'lsh', 'ivf' or 'pq', got {leg!r}"
+        )
+    return (
+        seeds.join(
+            ann.select(
+                F.col("query_id").alias("seed_id"),
+                F.col("neighbor_id").alias("doc_id"),
+                F.col("rank").cast("int").alias("rank_vec"),
+            ),
+            "seed_id",
+        )
+        # the seed doc can appear as another query's neighbor, but never as
+        # its own (ANN guard); drop any neighbor equal to THIS query's seed
+        .where(F.col("doc_id") != F.col("seed_id"))
+        .select("query_id", "doc_id", "rank_vec")
     )
