@@ -160,6 +160,7 @@ def merge_chunks_semantic(
     max_words: int = 256,
     id_col: str = "doc_id",
     text_col: str = "text",
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Corpus-level analog of the reference's P11 semantic merge, applied to
     chunks: greedy left-to-right fold per doc that absorbs the next chunk
@@ -232,8 +233,21 @@ def merge_chunks_semantic(
     # nothing (r4 VERDICT "What's wrong" #4 — and Catalyst then also
     # eliminates the offset arithmetic itself from this path, since the
     # pruned Project is the only consumer).
+    #
+    # The exchange is an EXPLICIT repartition(n, doc_id), not the implicit
+    # groupBy shuffle: the fold is Python-CPU-bound, so its parallelism
+    # must track CORES — AQE's coalescing sizes partitions by shuffle
+    # BYTES and (especially after the pruning above) collapses the tiny
+    # shuffle to a couple of partitions, serializing the fold (measured:
+    # 9.3 s vs 2.9 s at sf0.1/32 cores).  A user-specified repartition is
+    # exempt from AQE coalescing and already satisfies the applyInPandas
+    # clustered-distribution requirement, so no second exchange appears
+    # (plan-pinned in tests/test_plan_shapes.py).
+    spark = df.sparkSession
+    n_parts = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     return (
         chunks.select("doc_id", "chunk_idx", "n_words", "chunk_words")
+        .repartition(n_parts, "doc_id")
         .groupBy("doc_id")
         .applyInPandas(fold, schema=_MERGE_SCHEMA)
     )

@@ -174,3 +174,21 @@ def test_pagerank_rank_pos_is_top_k_not_global_sort(spark):
 
     plan = _plan(q_domain_pagerank(spark, SF))
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_chunk_merge_single_explicit_exchange(spark):
+    """merge_chunks_semantic's fold is Python-CPU-bound: its exchange must
+    be the user-specified repartition (exempt from AQE byte-based
+    coalescing, which serialized the fold to ~2 tasks after the r5 column
+    pruning shrank the shuffle) and the only hash exchange in the plan —
+    the groupBy must reuse that partitioning, not add a second shuffle."""
+    from open_parse_spark.operators.chunking import merge_chunks_semantic
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(merge_chunks_semantic(docs))
+    assert "REPARTITION_BY_NUM" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    # and the pruned exchange carries no chunk_text / span offsets
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "chunk_text" not in line and "span_start" not in line, line

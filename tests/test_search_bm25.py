@@ -294,3 +294,23 @@ def test_hybrid_ann_legs_recall_and_plan(spark):
 
     with pytest.raises(ValueError):
         hybrid_rrf(docs, emb, leg="bogus").collect()
+
+
+def test_hybrid_accepts_user_queries(spark):
+    """User query strings drive BOTH hybrid legs: the lexical leg ranks by
+    the user terms and the vector leg seeds off each user query's lexical
+    top-1."""
+    from open_parse_spark.operators.search import bm25_topk, hybrid_rrf
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = ["fast hash join", "slow table scan"]
+    fused = hybrid_rrf(docs, emb, queries=qs).collect()
+    assert {r["query_id"] for r in fused} == {0, 1}
+    lex = {
+        (r["query_id"], r["doc_id"]): r["rank"]
+        for r in bm25_topk(docs, k=20, queries=qs).collect()
+    }
+    for r in fused:
+        if r["rank_lex"]:
+            assert lex[(r["query_id"], r["doc_id"])] == r["rank_lex"]
