@@ -152,8 +152,9 @@ def _steal_gated(label: str, run):
     return best[1], best[0]
 
 
-def _parse_once_subprocess(cores: int) -> tuple[int, float, float]:
-    """One isolated measurement in a fresh JVM/process: (turns, sec, steal%).
+def _parse_once_subprocess(cores: int) -> tuple[int, float, float, float]:
+    """One isolated measurement in a fresh JVM/process:
+    (turns, sec, steal%, canary_ms).
 
     CPU-pinned with taskset so ``cores`` vCPUs is a hard cap on everything
     (JVM scan/GC threads AND python workers) — faithfully simulating an
@@ -173,31 +174,53 @@ def _parse_once_subprocess(cores: int) -> tuple[int, float, float]:
     )
     for line in out.stdout.splitlines():
         if line.startswith("PARSE_ONCE"):
-            _, turns, sec, steal = line.split()
-            return int(turns), float(sec), float(steal)
+            _, turns, sec, steal, canary = line.split()
+            return int(turns), float(sec), float(steal), float(canary)
     raise RuntimeError(f"parse-once failed: {out.stdout[-500:]} {out.stderr[-500:]}")
 
 
-def _parse_once_gated(cores: int, label: str) -> tuple[int, float, float]:
+def _parse_once_gated(cores: int, label: str) -> tuple[int, float, float, float]:
     """A steal-clean isolated parse leg: retry until the leg's own steal
     window is quiet, so the recorded wall is a pipeline measurement, not a
-    hypervisor-contention sample."""
-    (turns, sec), steal = _steal_gated(
+    hypervisor-contention sample.  Returns (turns, sec, steal%, canary_ms)
+    — the canary is the leg's single-core VM speed index."""
+    (turns, sec, canary), steal = _steal_gated(
         label,
-        lambda: ((lambda t, s, st: ((t, s), st))(*_parse_once_subprocess(cores))),
+        lambda: (
+            (lambda t, s, st, c: ((t, s, c), st))(*_parse_once_subprocess(cores))
+        ),
     )
-    return turns, sec, steal
+    return turns, sec, steal, canary
 
 
-def _run_parse(cores: int, reps: int, label: str) -> tuple[int, float, float]:
+def _run_parse(
+    cores: int, reps: int, label: str
+) -> tuple[int, float, float, float]:
     """Best-of-``reps`` steal-clean isolated runs; returns
-    (turns, best_sec, steal_pct_during_best)."""
-    best = (0, float("inf"), 0.0)
+    (turns, best_sec, steal_pct_during_best, canary_ms_during_best)."""
+    best = (0, float("inf"), 0.0, 0.0)
     for _ in range(reps):
-        turns, sec, steal = _parse_once_gated(cores, label)
+        turns, sec, steal, canary = _parse_once_gated(cores, label)
         if sec < best[1]:
-            best = (turns, sec, steal)
+            best = (turns, sec, steal, canary)
     return best
+
+
+def _speed_canary_ms() -> float:
+    """Single-core VM speed index: a fixed pure-Python workload, best of 3
+    (~100 ms each).  Hypervisor steal measures runqueue delay only; clock
+    throttling and co-tenant memory-bandwidth pressure are invisible to it
+    (observed r5: 8-core walls swinging ±15% across steal-clean windows).
+    The canary is RECORDED, never used to massage walls — it lets a reader
+    separate pipeline drift from box drift without forensics."""
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        acc = 0
+        for i in range(1_000_000):
+            acc += i * i
+        best = min(best, time.perf_counter() - t0)
+    return best * 1000.0
 
 
 def _parse_once_main(cores: int) -> None:
@@ -209,13 +232,14 @@ def _parse_once_main(cores: int) -> None:
     transcripts = spark.read.parquet(BENCH_TRANSCRIPTS)
     n_turns = transcripts.count()
     _warmup(spark)
+    canary_ms = _speed_canary_ms()
     s0, t0_ticks = _cpu_steal_pct()
     t0 = time.monotonic()
     _noop_write(parse_transcripts(transcripts))
     sec = time.monotonic() - t0
     s1, t1_ticks = _cpu_steal_pct()
     steal = 100.0 * (s1 - s0) / max(1, t1_ticks - t0_ticks)
-    print(f"PARSE_ONCE {n_turns} {sec:.3f} {steal:.2f}")
+    print(f"PARSE_ONCE {n_turns} {sec:.3f} {steal:.2f} {canary_ms:.1f}")
     spark.stop()
 
 
@@ -361,13 +385,15 @@ def main() -> None:
     efficiency = ratios_sorted[len(ratios_sorted) // 2]
     best_n = min((p[0] for p in pair_rows), key=lambda t: t[1])
     best_4n = min((p[1] for p in pair_rows), key=lambda t: t[1])
-    turns, sec_n, steal_n = best_n
-    _, sec_4n, steal_4n = best_4n
+    turns, sec_n, steal_n, canary_n = best_n
+    _, sec_4n, steal_4n, canary_4n = best_4n
     tps_n, tps_4n = turns / sec_n, turns / sec_4n
     query_secs["parse_scaling_N"] = round(sec_n, 3)
     query_secs["parse_scaling_4N"] = round(sec_4n, 3)
 
-    turns, sec_s4, steal_s4 = _run_parse(s4_cores, reps, "parse_secondary_4N")
+    turns, sec_s4, steal_s4, canary_s4 = _run_parse(
+        s4_cores, reps, "parse_secondary_4N"
+    )
     sec_s, steal_s = sec_4n, steal_4n
     tps_s, tps_s4 = turns / sec_s, turns / sec_s4
     eff_sec = (tps_s4 / tps_s) / (s4_cores / s_cores)
@@ -484,19 +510,23 @@ def main() -> None:
             "Runs are CPU-pinned (taskset) so N vCPUs is a hard cap on JVM + "
             "Python workers combined, like a real executor node.\n\n"
             "## Primary pair — N=2 vs 4N=8 vCPUs (host has slack; steal-free)\n\n"
-            "| run | parallelism | input turns | wall sec | turns/sec | cpu steal | scaling efficiency |\n"
-            "|---|---|---|---|---|---|---|\n"
-            f"| N | local[{n_cores}] | {turns} | {sec_n:.2f} | {tps_n:.0f} | {steal_n:.1f}% | — |\n"
-            f"| 4N | local[{n4_cores}] | {turns} | {sec_4n:.2f} | {tps_4n:.0f} | {steal_4n:.1f}% | "
+            "The speed canary is a fixed single-core pure-Python workload "
+            "timed inside each accepted leg (bigger = slower box): steal "
+            "cannot see clock throttling or co-tenant bandwidth pressure, "
+            "the canary can.\n\n"
+            "| run | parallelism | input turns | wall sec | turns/sec | cpu steal | speed canary | scaling efficiency |\n"
+            "|---|---|---|---|---|---|---|---|\n"
+            f"| N | local[{n_cores}] | {turns} | {sec_n:.2f} | {tps_n:.0f} | {steal_n:.1f}% | {canary_n:.0f} ms | — |\n"
+            f"| 4N | local[{n4_cores}] | {turns} | {sec_4n:.2f} | {tps_4n:.0f} | {steal_4n:.1f}% | {canary_4n:.0f} ms | "
             f"**{efficiency:.3f}** (target ≥ 0.8) |\n"
             "\n## Secondary pair — 8 vs 32 vCPUs (demands the whole shared VM)\n\n"
             "Hypervisor steal consistently appears exactly when the job asks "
             "for all 32 vCPUs; the no-Spark control shows the same curve, so "
             "the cap is the box, not the pipeline.\n\n"
-            "| run | parallelism | wall sec | turns/sec | cpu steal | scaling efficiency |\n"
-            "|---|---|---|---|---|---|\n"
-            f"| N | local[{s_cores}] | {sec_s:.2f} | {tps_s:.0f} | {steal_s:.1f}% | — |\n"
-            f"| 4N | local[{s4_cores}] | {sec_s4:.2f} | {tps_s4:.0f} | {steal_s4:.1f}% | "
+            "| run | parallelism | wall sec | turns/sec | cpu steal | speed canary | scaling efficiency |\n"
+            "|---|---|---|---|---|---|---|\n"
+            f"| N | local[{s_cores}] | {sec_s:.2f} | {tps_s:.0f} | {steal_s:.1f}% | {canary_4n:.0f} ms | — |\n"
+            f"| 4N | local[{s4_cores}] | {sec_s4:.2f} | {tps_s4:.0f} | {steal_s4:.1f}% | {canary_s4:.0f} ms | "
             f"{eff_sec:.3f} |\n"
             "\nHardware-ceiling control — the same per-turn parse under plain "
             "multiprocessing (no Spark):\n\n"
@@ -546,6 +576,15 @@ def main() -> None:
                 "secondary_tps": [round(tps_s, 1), round(tps_s4, 1)],
                 "secondary_efficiency": round(eff_sec, 3),
                 "cpu_steal_pct": [round(steal_s, 1), round(steal_s4, 1)],
+                # single-core VM speed index during each accepted leg (ms
+                # for a fixed pure-Python workload; bigger = slower box):
+                # separates pipeline drift from box drift — steal cannot
+                # see clock throttling or co-tenant bandwidth pressure
+                "speed_canary_ms": {
+                    "parse_N": round(canary_n, 1),
+                    "parse_4N": round(canary_4n, 1),
+                    "parse_secondary_4N": round(canary_s4, 1),
+                },
                 "suite_steal_pct": round(suite_steal, 1),
                 "hw_control_tps": [round(ctl_n, 1), round(ctl_4n, 1)],
                 "hw_control_efficiency": round(ctl_eff, 3),
