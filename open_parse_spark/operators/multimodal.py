@@ -2,11 +2,20 @@
 
 Media travel as opaque ``binary`` columns with typed metadata structs; all
 processing is Arrow-batched ``mapInPandas`` — the Spark-side plumbing
-(schemas, batch shapes, partitioning) is real and tested.  The actual codec
-work is STUBBED behind ``decode_media``: the image/audio libraries are not in
-this container, so the default decoder is a deterministic fake (and raises
-``NotImplementedError`` for codecs it cannot fake); swap in a PIL/ffmpeg
-decoder on a real cluster — the operator shapes do not change.
+(schemas, batch shapes, partitioning) is real and tested.
+
+Decode status (r5): **uncompressed formats decode for real, in-sandbox** —
+``decode_bmp`` parses BITMAPFILEHEADER/BITMAPINFOHEADER 24-bit BMPs
+(bottom-up AND top-down, 4-byte row padding) into (H, W, 3) RGB arrays and
+``decode_wav`` walks RIFF chunks into 16-bit PCM sample arrays; real feature
+extraction (4x4 grayscale mean-pool grid for images, 16-bin RMS envelope
+for audio) and nearest-neighbor ``resize_image`` run over the decoded
+content, all pure numpy, no codec libraries.  COMPRESSED codecs (png/jpeg/
+mp4) remain STUBBED behind the deterministic fake pass-through — PIL/ffmpeg
+are not in this container; swap them in on a real cluster, the operator
+shapes do not change.  ``audio/wav`` payloads that are not actually RIFF
+(the synthetic corpus's text-bytes stand-ins) keep the fake path, so every
+oracle pins the same bytes it always did.
 
 Scale notes: media bytes dominate row size, so these operators are map-only
 (no shuffle) and rely on the same scan-split sizing as the parse pipeline;
@@ -16,7 +25,11 @@ feature vectors are small fixed-width arrays, safe to shuffle downstream.
 from __future__ import annotations
 
 import hashlib
+import struct
+from dataclasses import dataclass
 from typing import Iterator, List
+
+import numpy as np
 
 import pandas as pd
 
@@ -59,11 +72,143 @@ FEATURE_SCHEMA = StructType(
 FEATURE_DIM = 16
 
 
+@dataclass
+class DecodedImage:
+    """Real decoded raster: (H, W, 3) uint8 RGB."""
+
+    pixels: "np.ndarray"
+
+
+@dataclass
+class DecodedAudio:
+    """Real decoded PCM: (n_frames, n_channels) int16 + sample rate."""
+
+    sample_rate: int
+    samples: "np.ndarray"
+
+
+def decode_bmp(data: bytes) -> DecodedImage:
+    """Pure-Python 24-bit BMP decoder (BITMAPINFOHEADER, uncompressed):
+    the one raster format that needs no codec library.  Handles bottom-up
+    (positive height) and top-down (negative height) pixel order and the
+    4-byte row padding.  Raises ValueError on anything it cannot decode."""
+    if len(data) < 54 or data[:2] != b"BM":
+        raise ValueError("not a BMP file")
+    (pix_offset,) = struct.unpack_from("<I", data, 10)
+    (dib_size,) = struct.unpack_from("<I", data, 14)
+    if dib_size < 40:
+        raise ValueError(f"unsupported DIB header size {dib_size}")
+    width, height = struct.unpack_from("<ii", data, 18)
+    bpp, = struct.unpack_from("<H", data, 28)
+    compression, = struct.unpack_from("<I", data, 30)
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"only uncompressed 24-bit BMP supported (bpp={bpp})")
+    top_down = height < 0
+    height = abs(height)
+    if width <= 0 or height <= 0:
+        raise ValueError("degenerate BMP dimensions")
+    row_size = ((bpp * width + 31) // 32) * 4
+    need = pix_offset + row_size * height
+    if len(data) < need:
+        raise ValueError("truncated BMP pixel data")
+    rows = np.frombuffer(
+        data, dtype=np.uint8, count=row_size * height, offset=pix_offset
+    ).reshape(height, row_size)
+    bgr = rows[:, : width * 3].reshape(height, width, 3)
+    rgb = bgr[:, :, ::-1]
+    if not top_down:
+        rgb = rgb[::-1]  # stored bottom row first
+    return DecodedImage(pixels=np.ascontiguousarray(rgb))
+
+
+def decode_wav(data: bytes) -> DecodedAudio:
+    """Pure-Python RIFF/WAVE PCM decoder: chunk walk to 'fmt ' + 'data',
+    16-bit integer PCM only (the uncompressed case; compressed/float WAV
+    raises NotImplementedError like any other missing codec)."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, fmt, pcm = 12, None, None
+    while pos + 8 <= len(data):
+        cid, size = data[pos : pos + 4], struct.unpack_from("<I", data, pos + 4)[0]
+        body = data[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            pcm = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or pcm is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, channels, rate, _brate, _balign, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise NotImplementedError(
+            f"only 16-bit integer PCM decodable here (fmt={audio_format}, "
+            f"bits={bits})"
+        )
+    if channels <= 0:
+        raise ValueError("degenerate channel count")
+    n = len(pcm) // (2 * channels)
+    samples = np.frombuffer(pcm, dtype="<i2", count=n * channels).reshape(
+        n, channels
+    )
+    return DecodedAudio(sample_rate=rate, samples=samples)
+
+
+def resize_image(img: DecodedImage, width: int, height: int) -> DecodedImage:
+    """Nearest-neighbor resize, pure numpy — the real 'resize' step for
+    decodable rasters (a model-input normalizer, not a quality scaler)."""
+    if width <= 0 or height <= 0:
+        raise ValueError("target dims must be positive")
+    h, w = img.pixels.shape[:2]
+    yi = np.minimum((np.arange(height) * h) // height, h - 1)
+    xi = np.minimum((np.arange(width) * w) // width, w - 1)
+    return DecodedImage(pixels=img.pixels[yi][:, xi])
+
+
+def image_feature(img: DecodedImage) -> List[float]:
+    """REAL image feature: 4x4 grayscale mean-pool grid, row-major, each
+    cell in [0, 1] (integer-mean grayscale (r+g+b)//3 averaged per cell)."""
+    gray = img.pixels.astype(np.int64).sum(axis=2) // 3
+    h, w = gray.shape
+    out = []
+    for r in range(4):
+        # cells tile the image; tiny rasters (h or w < 4) fall back to
+        # 1-pixel (possibly overlapping) cells so no cell is ever empty
+        y0 = (r * h) // 4
+        y1 = min(max(((r + 1) * h) // 4, y0 + 1), h) or 1
+        for c in range(4):
+            x0 = (c * w) // 4
+            x1 = min(max(((c + 1) * w) // 4, x0 + 1), w) or 1
+            cell = gray[y0:y1, x0:x1]
+            out.append(float(cell.mean()) / 255.0 if cell.size else 0.0)
+    return out
+
+
+def audio_feature(aud: DecodedAudio) -> List[float]:
+    """REAL audio feature: 16-bin RMS envelope over the (channel-meaned)
+    waveform, each bin in [0, 1] (normalized by int16 full scale)."""
+    mono = aud.samples.astype(np.float64).mean(axis=1)
+    n = len(mono)
+    out = []
+    for b in range(FEATURE_DIM):
+        s, e = (b * n) // FEATURE_DIM, ((b + 1) * n) // FEATURE_DIM
+        seg = mono[s:e]
+        rms = float(np.sqrt((seg * seg).mean())) if seg.size else 0.0
+        out.append(rms / 32768.0)
+    return out
+
+
 def decode_media(data: bytes, mime: str):
-    """STUB decode step.  A real deployment plugs PIL / torchaudio / ffmpeg
-    here (executor-side, imported once per worker).  The deterministic fake
-    returns the raw bytes for the mimes it 'supports' so downstream feature
-    extraction is exercisable; anything else is explicitly unimplemented."""
+    """Decode step.  REAL for uncompressed formats (24-bit BMP, 16-bit PCM
+    WAV — pure Python, no codec libs); deterministic fake pass-through for
+    the compressed mimes this container cannot decode (png/jpeg/mp4 — plug
+    PIL/ffmpeg here on a real cluster, executor-side, imported once per
+    worker); NotImplementedError for everything else.  An ``audio/wav``
+    payload that is not actually RIFF keeps the legacy fake path (the
+    synthetic corpus's text-bytes stand-ins — pins every existing oracle)."""
+    if mime == "image/bmp":
+        return decode_bmp(data)
+    if mime == "audio/wav" and data[:4] == b"RIFF":
+        return decode_wav(data)
     if mime in ("image/png", "image/jpeg", "audio/wav", "video/mp4"):
         return data
     raise NotImplementedError(f"no decoder available for {mime} in this environment")
@@ -92,15 +237,22 @@ def _extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
             try:
                 decoded = decode_media(raw, mime)
                 ok = True
-            except NotImplementedError:
-                # undecodable media: counted-and-carried, never silently
-                # dropped (lineage must account for every input row)
+            except (NotImplementedError, ValueError):
+                # undecodable media (missing codec OR malformed payload):
+                # counted-and-carried, never silently dropped (lineage must
+                # account for every input row)
                 decoded, ok = b"", False
+            if isinstance(decoded, DecodedImage):
+                feature = image_feature(decoded)
+            elif isinstance(decoded, DecodedAudio):
+                feature = audio_feature(decoded)
+            else:
+                feature = _feature_vector(decoded) if ok else []
             rows["media_id"].append(int(media_id))
             rows["kind"].append(kind)
             rows["n_bytes"].append(len(raw))
             rows["sha"].append(hashlib.sha256(raw).hexdigest())
-            rows["feature"].append(_feature_vector(decoded) if ok else [])
+            rows["feature"].append(feature)
             rows["decode_ok"].append(ok)
         yield pd.DataFrame(rows)
 
