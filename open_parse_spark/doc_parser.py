@@ -205,7 +205,11 @@ class DocumentParser:
                             ]
                         )
                         out["parse_error"].append(None)
-                yield pd.DataFrame(out)
+                if out["conv_id"]:
+                    # zero-node batch: skip the yield (pandas-2 empty-column
+                    # float64 trap vs the list-typed schema columns — see
+                    # spark/pipeline.py:_parse_partition)
+                    yield pd.DataFrame(out)
 
         return transcripts_df.select(*INPUT_COLS).mapInPandas(
             _parse, schema=NODE_SCHEMA

@@ -172,7 +172,14 @@ def _parse_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                     ]
                 )
                 o_err.append(None)
-        yield pd.DataFrame(out)
+        if o_conv:
+            yield pd.DataFrame(out)
+        # else: every turn in this batch parsed to zero nodes — yield
+        # NOTHING.  pandas 2.x types an all-empty column float64, and
+        # Arrow refuses float64 -> list<string> (variant/bbox/elements),
+        # so an empty yield kills the whole job on exactly the batches a
+        # hostile corpus produces (r5 latent-bug find, pinned by
+        # tests/test_spark_pipeline.py::test_all_empty_turn_batches).
 
 
 # spark.sql.files.maxPartitionBytes values from before the first auto-mode
@@ -261,7 +268,11 @@ def _make_narrow_partition(columns):
                     out["node_idx"].append(i)
                     for col, get, _default in getters:
                         out[col].append(get(node))
-            yield pd.DataFrame(out)
+            if out["conv_id"]:
+                # zero-node batch: see _parse_partition — an empty yield
+                # would hit the pandas-2 float64 empty-column trap when the
+                # narrow schema includes a list column (variant)
+                yield pd.DataFrame(out)
 
     return _narrow_partition
 

@@ -346,3 +346,46 @@ def test_resume_refuses_changed_n_buckets(spark, tmp_path, transcripts_df):
             spark, transcripts_df, out, ckpt, n_buckets=16,
             buckets_per_wave=8, run_id="r2",
         )
+
+
+def test_all_empty_turn_batches(spark, tmp_path):
+    """A batch whose every turn parses to ZERO nodes must yield nothing —
+    not an empty DataFrame: pandas 2.x types all-empty columns float64 and
+    Arrow refuses float64 -> list<string> for variant/bbox/elements, which
+    killed the job on exactly the batches a hostile corpus produces
+    (latent until local[*] made tiny all-empty batches likely; found r5 via
+    shard-order flakiness, root-caused to the empty-yield dtype trap)."""
+    import pandas as pd
+
+    from open_parse_spark.spark.checkpoint import run_resumable
+    from open_parse_spark.spark.pipeline import parse_transcripts
+
+    pdf = pd.DataFrame(
+        {
+            "conv_id": [f"c{i}" for i in range(40)],
+            "turn_idx": list(range(40)),
+            "role": ["user"] * 40,
+            "text": [""] * 20 + [None] * 20,  # every turn -> zero nodes
+            "tool": [None] * 40,
+            "ts": pd.date_range("2026-01-01", periods=40, freq="min"),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    # full schema (variant/bbox/elements list columns) and the narrow path
+    assert parse_transcripts(df, repartition_for_skew=False).count() == 0
+    narrow = parse_transcripts(
+        df,
+        repartition_for_skew=False,
+        output_columns=["conv_id", "turn_idx", "node_idx", "variant"],
+    )
+    assert narrow.count() == 0
+    # and the resumable writer survives all-empty waves end to end
+    r = run_resumable(
+        spark,
+        df,
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+        n_buckets=4,
+        buckets_per_wave=2,
+    )
+    assert sorted(r.processed_buckets) == [0, 1, 2, 3]
