@@ -370,19 +370,46 @@ def main() -> None:
     # pairing adjacent runs samples both levels in the same climate, and the
     # median rejects a single stolen window (best-of across levels does not:
     # the two bests can come from different climates).
-    # 5 pairs -> a true median that survives two stolen windows; each pair
-    # samples both levels back-to-back in the same VM climate
-    pairs = int(os.environ.get("BENCH_PAIRS", "5"))
+    # 6 pairs -> alternation is balanced (3 N-first + 3 4N-first) and the
+    # median still survives two stolen windows; each pair samples both
+    # levels back-to-back in the same VM climate
+    pairs = int(os.environ.get("BENCH_PAIRS", "6"))
     ratios, pair_rows = [], []
-    for _ in range(max(2, pairs)):
+    for i in range(max(2, pairs)):
         # each leg individually steal-gated: a pair is recorded only from
-        # quiet windows, so the ratio never embeds a stolen leg
-        tn = _parse_once_gated(n_cores, "parse_scaling_N")
-        t4 = _parse_once_gated(n4_cores, "parse_scaling_4N")
+        # quiet windows, so the ratio never embeds a stolen leg.
+        # The within-pair order ALTERNATES (N,4N / 4N,N): the VM's speed
+        # drifts monotonically across minutes even in steal-clean windows
+        # (co-tenant bandwidth pressure — observed r5: 8-core walls swinging
+        # ±15%), so a fixed order biases every pair's ratio the same way;
+        # alternating makes the drift cancel across pairs instead.
+        if i % 2 == 0:
+            tn = _parse_once_gated(n_cores, "parse_scaling_N")
+            t4 = _parse_once_gated(n4_cores, "parse_scaling_4N")
+        else:
+            t4 = _parse_once_gated(n4_cores, "parse_scaling_4N")
+            tn = _parse_once_gated(n_cores, "parse_scaling_N")
         ratios.append((tn[1] / t4[1]) / (n4_cores / n_cores))
         pair_rows.append((tn, t4))
     ratios_sorted = sorted(ratios)
-    efficiency = ratios_sorted[len(ratios_sorted) // 2]
+    mid = len(ratios_sorted) // 2
+    efficiency = (  # true median (mean of the two middle ratios when even)
+        ratios_sorted[mid]
+        if len(ratios_sorted) % 2
+        else (ratios_sorted[mid - 1] + ratios_sorted[mid]) / 2
+    )
+    # per-pair evidence: the recorded efficiency is a median over these, so
+    # the artifact must show the distribution it was taken from — a reader
+    # can see spread (box drift) without re-running anything
+    primary_pairs = [
+        {
+            "n_sec": round(tn[1], 2),
+            "n4_sec": round(t4[1], 2),
+            "ratio": round((tn[1] / t4[1]) / (n4_cores / n_cores), 3),
+            "canary_ms": [round(tn[3], 1), round(t4[3], 1)],
+        }
+        for tn, t4 in pair_rows
+    ]
     best_n = min((p[0] for p in pair_rows), key=lambda t: t[1])
     best_4n = min((p[1] for p in pair_rows), key=lambda t: t[1])
     turns, sec_n, steal_n, canary_n = best_n
@@ -404,6 +431,19 @@ def main() -> None:
     ctl_4n = _control_tps_gated(bench_path, s4_cores, "control_4N")
     ctl_eff = (ctl_4n / ctl_n) / (s4_cores / s_cores)
     norm_eff = eff_sec / ctl_eff if ctl_eff > 0 else 0.0
+
+    # hardware control for the PRIMARY pair too: steal-clean windows still
+    # carry co-tenant bandwidth pressure the steal counter cannot see, so
+    # the 2->8 raw efficiency needs the same box-ceiling yardstick the
+    # secondary pair already has (the 8-proc control is shared)
+    ctl_pn = _control_tps_gated(bench_path, n_cores, "control_primary_N")
+    ctl_p4 = (  # s_cores == n4_cores in the default config: reuse that leg
+        ctl_n
+        if s_cores == n4_cores
+        else _control_tps_gated(bench_path, n4_cores, "control_primary_4N")
+    )
+    ctl_p_eff = (ctl_p4 / ctl_pn) / (n4_cores / n_cores)
+    norm_primary = efficiency / ctl_p_eff if ctl_p_eff > 0 else 0.0
 
     # --- headline queries at sf_dir on local[cpus] ---
     # steal is recorded across the suite too: at full VM width a stolen
@@ -497,9 +537,11 @@ def main() -> None:
             f"identical input ({turns} turns, seed=42 skewed synthetic "
             f"transcripts), at two parallelism levels in one JVM.  Primary "
             f"pair: {max(2, pairs)} interleaved N/4N rep pairs (each pair "
-            f"samples both levels back-to-back in the same VM climate), "
-            f"efficiency = median of the per-pair ratios; the table shows "
-            f"the best rep per level.  Secondary legs: best of {reps} reps. "
+            f"samples both levels back-to-back in the same VM climate, "
+            f"within-pair leg order alternating so monotone box drift "
+            f"cancels), efficiency = median of the per-pair ratios; the "
+            f"table shows the best rep per level.  Secondary legs: best of "
+            f"{reps} reps. "
             f"This sandbox is a shared VM with bursty hypervisor CPU steal; "
             f"since round 5 every timed leg is STEAL-GATED — retried "
             f"(bounded, {STEAL_RETRIES} attempts, {STEAL_PAUSE_S:.0f}s "
@@ -519,6 +561,21 @@ def main() -> None:
             f"| N | local[{n_cores}] | {turns} | {sec_n:.2f} | {tps_n:.0f} | {steal_n:.1f}% | {canary_n:.0f} ms | — |\n"
             f"| 4N | local[{n4_cores}] | {turns} | {sec_4n:.2f} | {tps_4n:.0f} | {steal_4n:.1f}% | {canary_4n:.0f} ms | "
             f"**{efficiency:.3f}** (target ≥ 0.8) |\n"
+            "\nPer-pair evidence (within-pair leg order alternates to cancel "
+            "monotone box drift; the recorded efficiency is the MEDIAN of "
+            "the ratio column):\n\n"
+            "| pair | N wall | 4N wall | ratio |\n|---|---|---|---|\n"
+            + "".join(
+                f"| {i + 1} | {p['n_sec']:.2f} | {p['n4_sec']:.2f} | "
+                f"{p['ratio']:.3f} |\n"
+                for i, p in enumerate(primary_pairs)
+            )
+            + "\nPrimary-pair hardware control (the same per-turn parse "
+            "under plain multiprocessing, no Spark — the box's own 2->8 "
+            f"scaling ceiling): {n_cores} procs {ctl_pn:.0f} turns/s, "
+            f"{n4_cores} procs {ctl_p4:.0f} turns/s, control efficiency "
+            f"{ctl_p_eff:.3f}; pipeline primary scaling normalized to the "
+            f"control: **{norm_primary:.3f}**.\n"
             "\n## Secondary pair — 8 vs 32 vCPUs (demands the whole shared VM)\n\n"
             "Hypervisor steal consistently appears exactly when the job asks "
             "for all 32 vCPUs; the no-Spark control shows the same curve, so "
@@ -552,11 +609,18 @@ def main() -> None:
             "stage ~40% faster, bare-parse mp control 26916 -> 31601 "
             "turns/s at 8 procs) — Spark-leg walls moved 6061/20028 at "
             "2/8, efficiency 0.925, inside this box's run-to-run swing.  "
-            "Round-5: steal-gating landed (this artifact); the r4 driver "
-            "artifact's -19% per-core reading (5089 turns/s at N=2, "
-            "recorded with 13.1% steal on the wide leg) is reconciled — "
-            "steal-clean windows reproduce the r3-class per-core number, "
-            "confirming the r4 regression was VM climate, not code.\n"
+            "Round-5: steal-gating landed; the r4 driver artifact's -19% "
+            "per-core reading (5089 turns/s at N=2, recorded with 13.1% "
+            "steal on the wide leg) is reconciled — the first gated r5 run "
+            "(2026-08-18) recorded 6201/22100 at 2/8, reproducing the "
+            "r3-class per-core number in a steal-clean window and "
+            "confirming the r4 regression was VM climate, not code.  "
+            "Steal-clean windows still drift (co-tenant bandwidth pressure "
+            "the steal counter cannot see): the per-leg speed canary and "
+            "the primary hardware control in this artifact measure that "
+            "drift directly, so the normalized-to-control primary "
+            "efficiency above is the climate-independent number of "
+            "record.\n"
         )
 
     print(
@@ -572,6 +636,13 @@ def main() -> None:
                 "turns_per_sec_4N": round(tps_4n, 1),
                 "scaling_efficiency": round(efficiency, 3),
                 "scaling_pair": [n_cores, n4_cores],
+                # the efficiency above is the median of these per-pair
+                # ratios; the spread shows box drift across steal-clean
+                # windows (each pair samples both levels back-to-back)
+                "primary_pairs": primary_pairs,
+                "primary_hw_control_tps": [round(ctl_pn, 1), round(ctl_p4, 1)],
+                "primary_hw_control_efficiency": round(ctl_p_eff, 3),
+                "primary_efficiency_vs_hw_control": round(norm_primary, 3),
                 "secondary_pair": [s_cores, s4_cores],
                 "secondary_tps": [round(tps_s, 1), round(tps_s4, 1)],
                 "secondary_efficiency": round(eff_sec, 3),
