@@ -47,3 +47,83 @@ def stratified_sample(
     return ranked.where(F.col("sample_rank") <= quota).select(
         "doc_id", "stratum", "sample_rank", "stratum_n"
     )
+
+
+def mix_by_budget(
+    df: DataFrame,
+    weights_ppm: "dict[str, int]",
+    budget_tokens: int,
+    domain_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Build a training mixture: cover each domain's token quota
+    (``weight_ppm/1e6 * budget_tokens``, integer floor) by taking docs in
+    deterministic md5 order, REPEATING the domain for extra epochs when its
+    corpus is smaller than its quota (the Pile/DoReMi-style up-sampling of
+    scarce domains).
+
+    Per selected doc the output carries one row per epoch:
+    ``(doc_id, domain, epoch, tokens, n_epochs)`` — epoch 1..n_epochs, where
+    ``n_epochs = full_epochs + (1 if the doc falls in the remainder prefix)``;
+    ``full_epochs = quota div domain_tokens`` and the remainder prefix is the
+    greedy md5-ordered head whose running sum first covers the leftover
+    quota (the crossing doc is included, so the quota is always covered when
+    the domain is non-empty).  Domains absent from ``weights_ppm`` — and
+    zero-token domains — are excluded; a zero quota selects nothing.
+
+    Scale shape: one broadcast join against the tiny weights relation, one
+    shuffle on the domain key (the per-domain running sum and the per-domain
+    total ride the same partitioning), then a map-side explode of the
+    bounded epochs array.  Nothing is proportional to corpus size on the
+    driver; epoch counts are bounded by quota/domain_tokens.
+    """
+    from open_parse_spark.functions.text import token_count
+
+    spark = df.sparkSession
+    w_df = F.broadcast(
+        spark.createDataFrame(
+            [(d, int(p)) for d, p in sorted(weights_ppm.items())],
+            f"{domain_col} string, weight_ppm long",
+        )
+    )
+    sized = df.join(w_df, domain_col).select(
+        F.col(id_col).alias("doc_id"),
+        F.col(domain_col).alias("domain"),
+        token_count(F.coalesce(F.col(text_col), F.lit(""))).alias("tokens"),
+        F.expr(f"(weight_ppm * CAST({budget_tokens} AS BIGINT)) div 1000000")
+        .cast("long")
+        .alias("quota"),
+        F.md5(
+            F.concat_ws(":", F.col(id_col).cast("string"), F.col(text_col))
+        ).alias("h"),
+    )
+    wd = Window.partitionBy("domain")
+    wo = wd.orderBy(F.col("h").asc(), F.col("doc_id").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    staged = sized.select(
+        "doc_id",
+        "domain",
+        "tokens",
+        "quota",
+        F.sum("tokens").over(wo).alias("cum"),
+        F.sum("tokens").over(wd).alias("domain_tokens"),
+    ).where(F.col("domain_tokens") > 0)
+    full = F.expr("quota div domain_tokens").cast("long")
+    remainder = F.col("quota") - full * F.col("domain_tokens")
+    n_epochs = (
+        full + (F.col("cum") - F.col("tokens") < remainder).cast("long")
+    ).alias("n_epochs")
+    selected = staged.select(
+        "doc_id", "domain", "tokens", n_epochs
+    ).where(F.col("n_epochs") >= 1)
+    return selected.select(
+        "doc_id",
+        "domain",
+        F.explode(
+            F.sequence(F.lit(1).cast("long"), F.col("n_epochs"))
+        ).alias("epoch"),
+        "tokens",
+        "n_epochs",
+    )

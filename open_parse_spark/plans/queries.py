@@ -2644,6 +2644,66 @@ WHERE 5 * sample_rank <= stratum_n + 4
 """
 
 
+# language-mixture weights for q_mix_corpus, parts-per-million; the budget
+# is sized so en/de/zh need multiple epochs (quota > corpus: the scarce-
+# domain up-sampling path), fr crosses 1 epoch, and es stays a partial
+# single-epoch prefix — every branch of the operator exercised at sf0.01
+MIX_WEIGHTS_PPM = {
+    "en": 500_000,
+    "de": 200_000,
+    "zh": 150_000,
+    "fr": 100_000,
+    "es": 50_000,
+}
+MIX_BUDGET_TOKENS = 60_000
+
+
+def q_mix_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture construction (Pile/DoReMi-style): cover each
+    language's token quota (weight x budget) by md5-ordered greedy
+    selection, repeating scarce domains for extra epochs.  One broadcast
+    join + one domain-keyed shuffle + a bounded explode."""
+    from open_parse_spark.operators.sampling import mix_by_budget
+
+    return mix_by_budget(
+        _tbl(spark, sf_dir, "documents"),
+        MIX_WEIGHTS_PPM,
+        MIX_BUDGET_TOKENS,
+        domain_col="lang",
+    )
+
+
+SQL_MIX_CORPUS = f"""
+WITH w(domain, weight_ppm) AS (VALUES {", ".join(
+    f"('{d}', {p}::BIGINT)" for d, p in sorted(MIX_WEIGHTS_PPM.items())
+)}),
+sized AS (
+  SELECT d.doc_id::BIGINT AS doc_id, d.lang AS domain,
+         coalesce(len(regexp_extract_all(coalesce(d.text,''),
+                                         '[A-Za-z0-9]+')), 0)::BIGINT AS tokens,
+         (w.weight_ppm * {MIX_BUDGET_TOKENS}::BIGINT) // 1000000 AS quota,
+         md5(concat_ws(':', d.doc_id::VARCHAR, d.text)) AS h
+  FROM documents d JOIN w ON w.domain = d.lang
+), staged AS (
+  SELECT doc_id, domain, tokens, quota,
+         sum(tokens) OVER (PARTITION BY domain ORDER BY h ASC, doc_id ASC
+                           ROWS UNBOUNDED PRECEDING)::BIGINT AS cum,
+         sum(tokens) OVER (PARTITION BY domain)::BIGINT AS domain_tokens
+  FROM sized
+), epochs AS (
+  SELECT doc_id, domain, tokens,
+         (quota // domain_tokens
+          + CASE WHEN cum - tokens < quota - (quota // domain_tokens)
+                                             * domain_tokens
+                 THEN 1 ELSE 0 END)::BIGINT AS n_epochs
+  FROM staged WHERE domain_tokens > 0
+)
+SELECT doc_id, domain, unnest(generate_series(1, n_epochs))::BIGINT AS epoch,
+       tokens, n_epochs
+FROM epochs WHERE n_epochs >= 1
+"""
+
+
 def q_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition gate (Rae et al. 2021 §A1.1): fraction of all
     2-gram occurrences taken by the single most frequent 2-gram, and fraction
@@ -3652,6 +3712,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "dedup_keep": (q_dedup_keep, SQL_DEDUP_KEEP),
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
     "sample_stratified": (q_sample_stratified, SQL_SAMPLE_STRATIFIED),
+    "mix_corpus": (q_mix_corpus, SQL_MIX_CORPUS),
     "quality_repetition": (q_quality_repetition, SQL_QUALITY_REPETITION),
     "training_pipeline_full": (q_training_pipeline_full, SQL_TRAINING_PIPELINE_FULL),
     "corpus_stats": (q_corpus_stats, SQL_CORPUS_STATS),

@@ -300,3 +300,77 @@ def test_bloom_decontaminate_rejects_non_power_of_two(spark):
     docs = _docs(spark, [(0, "a b c d e", "en", "s", 1)])
     with pytest.raises(ValueError):
         bloom_decontaminate(docs, docs, m=1000)
+
+
+def test_mix_by_budget_epochs_and_remainder(spark):
+    """Pure-python replay of the mixture algorithm on a crafted corpus:
+    domain 'a' is scarcer than its quota (multi-epoch up-sampling path),
+    'b' is larger (greedy remainder prefix incl. the crossing doc),
+    'c' has weight 0 (quota 0 -> nothing), 'd' is unweighted (excluded)."""
+    from open_parse_spark.operators.sampling import mix_by_budget
+
+    rows = [
+        (1, "one two three four", "x", "a", 1),          # 4 tokens
+        (2, "five six seven eight", "x", "a", 1),        # 4
+        (3, "nine ten eleven twelve", "x", "a", 1),      # 4
+        (4, "a b c d e f", "x", "b", 1),                 # 6
+        (5, "g h i j k l m n", "x", "b", 1),             # 8
+        (6, "o p q r s", "x", "b", 1),                   # 5
+        (7, "zero weight domain doc", "x", "c", 1),
+        (8, "unweighted domain doc", "x", "d", 1),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    weights = {"a": 750_000, "b": 250_000, "c": 0}
+    budget = 40  # quotas: a=30, b=10, c=0
+    out = mix_by_budget(docs, weights, budget, domain_col="source").collect()
+
+    # python replay
+    toks = {r[0]: len(r[1].split()) for r in rows}
+    expect = []
+    for dom, quota in (("a", 30), ("b", 10), ("c", 0)):
+        pool = sorted(
+            (hashlib.md5(f"{i}:{t}".encode()).hexdigest(), i)
+            for i, t, _l, s, _n in rows
+            if s == dom
+        )
+        total = sum(toks[i] for _, i in pool)
+        if total == 0:
+            continue
+        full, rem, cum = quota // total, quota % total, 0
+        for _, i in pool:
+            n = full + (1 if cum < rem else 0)
+            cum += toks[i]
+            expect += [(i, dom, e, toks[i], n) for e in range(1, n + 1)]
+    assert sorted(map(tuple, out)) == sorted(expect)
+    # domain quotas are covered (the crossing doc is included)
+    got_tokens = {}
+    for doc_id, dom, _e, t, _n in out:
+        got_tokens[dom] = got_tokens.get(dom, 0) + t
+    assert got_tokens["a"] >= 30 and got_tokens["b"] >= 10
+    assert "c" not in got_tokens and "d" not in got_tokens
+
+
+def test_mix_by_budget_null_text_and_empty_domain(spark):
+    from open_parse_spark.operators.sampling import mix_by_budget
+
+    docs = spark.createDataFrame(
+        [
+            (1, None, "x", "a", 1),     # NULL text -> 0 tokens
+            (2, "w1 w2", "x", "a", 1),  # 2 tokens
+            (3, None, "x", "b", 1),     # whole domain 0 tokens -> excluded
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = mix_by_budget(docs, {"a": 500_000, "b": 500_000}, 8,
+                        domain_col="source").collect()
+    # a: quota 4, total 2 -> full=2, rem=0; null-text doc rides along with
+    # tokens=0 (its prefix position decides the extra epoch: cum<0 never)
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r["epoch"])
+    assert set(by_doc) == {1, 2}
+    assert sorted(by_doc[2]) == [1, 2]
+    assert sorted(by_doc[1]) == [1, 2]  # full epochs apply to 0-token rows
+    assert all(r["domain"] == "a" for r in out)
