@@ -338,6 +338,7 @@ def main() -> None:
         "decontaminate",
         "pack_sequences",
         "sample_stratified",
+        "mix_corpus",
         "quality_repetition",
         "training_pipeline_full",
         "html_extract",
