@@ -49,6 +49,35 @@ def stratified_sample(
     )
 
 
+def _h60(h_col):  # md5 hex -> uniform double in [0, 1): first 60 bits
+    return (F.conv(F.substring(h_col, 1, 15), 16, 10).cast("double")
+            / F.lit(float(1 << 60)))
+
+
+def stratified_sample_threshold(
+    df: DataFrame,
+    num: int = 1,
+    den: int = 5,
+    stratum_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The 100 TB shape of :func:`stratified_sample`: keep docs whose
+    60-bit md5 fraction is below num/den — MAP-ONLY (no per-stratum sort,
+    no window, no count), so a stratum larger than any partition costs
+    nothing extra.  The kept count is Binomial(n, num/den) per stratum
+    (±sqrt(n) of quota) instead of exact; `stratified_sample` remains the
+    exact-quota correctness baseline and oracle."""
+    h = F.md5(
+        F.concat_ws(":", F.col(id_col).cast("string"), F.col(text_col))
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(stratum_col).alias("stratum"),
+        _h60(h).alias("h60"),
+    ).where(F.col("h60") < F.lit(num / den)).select("doc_id", "stratum")
+
+
 def mix_by_budget(
     df: DataFrame,
     weights_ppm: "dict[str, int]",
@@ -115,6 +144,73 @@ def mix_by_budget(
     n_epochs = (
         full + (F.col("cum") - F.col("tokens") < remainder).cast("long")
     ).alias("n_epochs")
+    selected = staged.select(
+        "doc_id", "domain", "tokens", n_epochs
+    ).where(F.col("n_epochs") >= 1)
+    return selected.select(
+        "doc_id",
+        "domain",
+        F.explode(
+            F.sequence(F.lit(1).cast("long"), F.col("n_epochs"))
+        ).alias("epoch"),
+        "tokens",
+        "n_epochs",
+    )
+
+
+def mix_by_budget_threshold(
+    df: DataFrame,
+    weights_ppm: "dict[str, int]",
+    budget_tokens: int,
+    domain_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The 100 TB shape of :func:`mix_by_budget`: same quotas and full-epoch
+    arithmetic, but the remainder prefix is chosen by HASH THRESHOLD instead
+    of a per-domain running-sum window — docs whose 60-bit md5 fraction is
+    below remainder/domain_tokens get the extra epoch, so the remainder's
+    expected token mass equals the remainder exactly (each doc contributes
+    tokens with probability remainder/domain_tokens) while the plan is one
+    partial-aggregated groupBy (domain totals, |domains| rows broadcast
+    back) plus a map-only filter+explode — NO window, NO per-domain sort,
+    so a single domain spanning thousands of partitions costs nothing
+    extra.  Coverage is in expectation (±sqrt-of-domain-size tokens);
+    `mix_by_budget` remains the exact correctness baseline and oracle."""
+    from open_parse_spark.functions.text import token_count
+
+    spark = df.sparkSession
+    w_df = F.broadcast(
+        spark.createDataFrame(
+            [(d, int(p)) for d, p in sorted(weights_ppm.items())],
+            f"{domain_col} string, weight_ppm long",
+        )
+    )
+    sized = df.join(w_df, domain_col).select(
+        F.col(id_col).alias("doc_id"),
+        F.col(domain_col).alias("domain"),
+        token_count(F.coalesce(F.col(text_col), F.lit(""))).alias("tokens"),
+        F.expr(f"(weight_ppm * CAST({budget_tokens} AS BIGINT)) div 1000000")
+        .cast("long")
+        .alias("quota"),
+        F.md5(
+            F.concat_ws(":", F.col(id_col).cast("string"), F.col(text_col))
+        ).alias("h"),
+    )
+    totals = F.broadcast(
+        sized.groupBy("domain")
+        .agg(F.sum("tokens").cast("long").alias("domain_tokens"))
+        .where(F.col("domain_tokens") > 0)
+    )
+    staged = sized.join(totals, "domain")
+    full = F.expr("quota div domain_tokens").cast("long")
+    rem_frac = (
+        (F.col("quota") - full * F.col("domain_tokens")).cast("double")
+        / F.col("domain_tokens").cast("double")
+    )
+    n_epochs = (full + (_h60(F.col("h")) < rem_frac).cast("long")).alias(
+        "n_epochs"
+    )
     selected = staged.select(
         "doc_id", "domain", "tokens", n_epochs
     ).where(F.col("n_epochs") >= 1)

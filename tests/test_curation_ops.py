@@ -374,3 +374,64 @@ def test_mix_by_budget_null_text_and_empty_domain(spark):
     assert sorted(by_doc[2]) == [1, 2]
     assert sorted(by_doc[1]) == [1, 2]  # full epochs apply to 0-token rows
     assert all(r["domain"] == "a" for r in out)
+
+
+def _h60_py(i, text):
+    parts = [str(i)] + ([text] if text is not None else [])
+    return int(hashlib.md5(":".join(parts).encode()).hexdigest()[:15], 16) / float(1 << 60)
+
+
+def test_threshold_variants_replay_and_window_free(spark):
+    """The 100TB hash-threshold shapes: bit-identical to a pure-python
+    replay of the same double arithmetic, quota covered within binomial
+    tolerance, and the plans contain NO window/sort (map-only after the
+    broadcast agg)."""
+    from open_parse_spark.operators.sampling import (
+        mix_by_budget_threshold,
+        stratified_sample_threshold,
+    )
+
+    rows = [
+        (i, " ".join(f"w{j}" for j in range(2 + i % 7)),
+         ["en", "fr"][i % 2], "s", 1)
+        for i in range(400)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+    # stratified: selection == {h60 < num/den}, exactly as python computes it
+    out = stratified_sample_threshold(docs, num=1, den=5).collect()
+    expect_ids = {i for i, t, *_ in rows if _h60_py(i, t) < 1 / 5}
+    assert {r["doc_id"] for r in out} == expect_ids
+    # binomial tolerance around the 80-per-stratum quota (n=400, p=0.2)
+    assert abs(len(out) - 80) < 4 * (400 * 0.2 * 0.8) ** 0.5
+
+    # mixer: python replay of quota/full/remainder-threshold arithmetic
+    toks = {i: len(t.split()) for i, t, *_ in rows}
+    text_of = {i: t for i, t, *_ in rows}
+    weights, budget = {"en": 600_000, "fr": 400_000}, 3000
+    got = mix_by_budget_threshold(docs, weights, budget).collect()
+    expect = []
+    for dom, quota in (("en", 1800), ("fr", 1200)):
+        pool = [i for i, t, l, *_ in rows if l == dom]
+        total = sum(toks[i] for i in pool)
+        full, rem = quota // total, quota % total
+        for i in pool:
+            n = full + (1 if _h60_py(i, text_of[i]) < rem / total else 0)
+            expect += [(i, dom, e, toks[i], n) for e in range(1, n + 1)]
+    assert sorted(map(tuple, got)) == sorted(expect)
+    # expected-coverage: selected tokens within 4 sigma of the quota
+    by_dom = {}
+    for doc_id, dom, _e, t, _n in got:
+        by_dom[dom] = by_dom.get(dom, 0) + t
+    for dom, quota in (("en", 1800), ("fr", 1200)):
+        assert abs(by_dom[dom] - quota) < 350, (dom, by_dom[dom])
+
+    # plan discipline: no Window, no CartesianProduct in either plan
+    for frame in (
+        stratified_sample_threshold(docs, num=1, den=5),
+        mix_by_budget_threshold(docs, weights, budget),
+    ):
+        plan = frame._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan and "CartesianProduct" not in plan
