@@ -223,3 +223,60 @@ def mix_by_budget_threshold(
         "tokens",
         "n_epochs",
     )
+
+
+def mixture_weights_ppm(
+    df: DataFrame,
+    alpha_num: int = 1,
+    alpha_den: int = 2,
+    domain_col: str = "lang",
+    text_col: str = "text",
+) -> "dict[str, int]":
+    """Temperature-smoothed mixture weights: weight_i ∝ tokens_i^(num/den),
+    normalized to parts-per-million — the standard up-weighting of scarce
+    domains for multilingual/multi-source training (num/den = 1/2 is the
+    common sqrt temperature; 1/1 reproduces natural proportions).
+
+    Only exponents with den in (1, 2) are supported so the arithmetic stays
+    exact-integer (``math.isqrt``) and engine-free: the per-domain token
+    totals are ONE bounded aggregation (|domains| rows collected — the only
+    driver-side step, legitimate at any corpus size), everything after is
+    python on that tiny dict.  Feed the result straight to
+    :func:`mix_by_budget` / :func:`mix_by_budget_threshold`.
+
+    The ppm values are floor-rounded; the largest domain absorbs the
+    rounding slack so the weights always sum to exactly 1_000_000.
+    """
+    import math
+
+    from open_parse_spark.functions.text import token_count
+
+    if alpha_den not in (1, 2) or alpha_num != 1:
+        raise ValueError("supported exponents: 1/1 and 1/2")
+    totals = {
+        r["domain"]: r["tokens"]
+        for r in df.groupBy(F.col(domain_col).alias("domain"))
+        .agg(
+            F.sum(
+                token_count(F.coalesce(F.col(text_col), F.lit("")))
+            )
+            .cast("long")
+            .alias("tokens")
+        )
+        .collect()
+        if r["tokens"]
+    }
+    if not totals:
+        return {}
+    smoothed = {
+        d: (t if alpha_den == 1 else math.isqrt(t))
+        for d, t in totals.items()
+    }
+    denom = sum(smoothed.values())
+    ppm = {d: s * 1_000_000 // denom for d, s in smoothed.items()}
+    # hand the floor-rounding slack to the largest domain (deterministic
+    # tie-break on name) so the weights sum to exactly 1e6
+    slack = 1_000_000 - sum(ppm.values())
+    top = max(smoothed, key=lambda d: (smoothed[d], d))
+    ppm[top] += slack
+    return ppm

@@ -435,3 +435,34 @@ def test_threshold_variants_replay_and_window_free(spark):
     ):
         plan = frame._jdf.queryExecution().executedPlan().toString()
         assert "Window" not in plan and "CartesianProduct" not in plan
+
+
+def test_mixture_weights_ppm_sqrt_temperature(spark):
+    import math
+
+    rows = []
+    did = 0
+    # en: 16 docs x 4 tokens = 64; fr: 4 x 4 = 16; de: 1 x 4 = 4
+    for lang, n in (("en", 16), ("fr", 4), ("de", 1)):
+        for _ in range(n):
+            rows.append((did, "w1 w2 w3 w4", lang, "s", 1)); did += 1
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    from open_parse_spark.operators.sampling import mixture_weights_ppm
+
+    # natural proportions: 64:16:4 -> ppm floor + slack to largest
+    nat = mixture_weights_ppm(docs, 1, 1)
+    assert sum(nat.values()) == 1_000_000
+    assert nat["fr"] == 16 * 1_000_000 // 84 and nat["de"] == 4 * 1_000_000 // 84
+    # sqrt temperature: isqrt(64)=8, isqrt(16)=4, isqrt(4)=2 -> 8:4:2
+    sq = mixture_weights_ppm(docs)
+    assert sum(sq.values()) == 1_000_000
+    assert sq["fr"] == 4 * 1_000_000 // 14 and sq["de"] == 2 * 1_000_000 // 14
+    # scarce domains gain share under the sqrt temperature
+    assert sq["de"] > nat["de"] and sq["en"] < nat["en"]
+    # composes with the mixer
+    from open_parse_spark.operators.sampling import mix_by_budget
+
+    out = mix_by_budget(docs, sq, 56).collect()
+    assert {r["domain"] for r in out} == {"en", "fr", "de"}
