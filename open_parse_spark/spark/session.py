@@ -37,5 +37,10 @@ def get_spark(
         # --driver-memory there (review finding)
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.sql.session.timeZone", "UTC")
+        # broadcast futures share the driver with python-worker launches; on
+        # a contended shared VM (e.g. parallel test shards) the 300 s default
+        # has been seen to flake a registry sweep — timing headroom only, no
+        # plan change
+        .config("spark.sql.broadcastTimeout", "1200")
         .getOrCreate()
     )
