@@ -2704,6 +2704,55 @@ FROM epochs WHERE n_epochs >= 1
 """
 
 
+def q_mix_corpus_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The window-free 100 TB shape of `mix_corpus` (hash-threshold
+    remainder instead of the per-domain running-sum window) under the SAME
+    weights/budget — oracle-checkable because every step is deterministic:
+    the 60-bit md5 fraction and the remainder fraction are identical IEEE
+    double arithmetic in both engines (md5 hex-parse equivalence
+    established repo-wide)."""
+    from open_parse_spark.operators.sampling import mix_by_budget_threshold
+
+    return mix_by_budget_threshold(
+        _tbl(spark, sf_dir, "documents"),
+        MIX_WEIGHTS_PPM,
+        MIX_BUDGET_TOKENS,
+        domain_col="lang",
+    )
+
+
+SQL_MIX_CORPUS_THRESHOLD = f"""
+WITH w(domain, weight_ppm) AS (VALUES {", ".join(
+    f"('{d}', {p}::BIGINT)" for d, p in sorted(MIX_WEIGHTS_PPM.items())
+)}),
+sized AS (
+  SELECT d.doc_id::BIGINT AS doc_id, d.lang AS domain,
+         coalesce(len(regexp_extract_all(coalesce(d.text,''),
+                                         '[A-Za-z0-9]+')), 0)::BIGINT AS tokens,
+         (w.weight_ppm * {MIX_BUDGET_TOKENS}::BIGINT) // 1000000 AS quota,
+         (('0x' || substr(md5(concat_ws(':', d.doc_id::VARCHAR, d.text)),
+                          1, 15))::BIGINT)::DOUBLE
+           / 1152921504606846976.0 AS h60
+  FROM documents d JOIN w ON w.domain = d.lang
+), tot AS (
+  SELECT domain, sum(tokens)::BIGINT AS domain_tokens
+  FROM sized GROUP BY domain HAVING sum(tokens) > 0
+), epochs AS (
+  SELECT s.doc_id, s.domain, s.tokens,
+         (s.quota // t.domain_tokens
+          + CASE WHEN s.h60 <
+                   (s.quota - (s.quota // t.domain_tokens)
+                              * t.domain_tokens)::DOUBLE
+                   / t.domain_tokens::DOUBLE
+                 THEN 1 ELSE 0 END)::BIGINT AS n_epochs
+  FROM sized s JOIN tot t USING (domain)
+)
+SELECT doc_id, domain, unnest(generate_series(1, n_epochs))::BIGINT AS epoch,
+       tokens, n_epochs
+FROM epochs WHERE n_epochs >= 1
+"""
+
+
 def q_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition gate (Rae et al. 2021 §A1.1): fraction of all
     2-gram occurrences taken by the single most frequent 2-gram, and fraction
@@ -3713,6 +3762,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
     "sample_stratified": (q_sample_stratified, SQL_SAMPLE_STRATIFIED),
     "mix_corpus": (q_mix_corpus, SQL_MIX_CORPUS),
+    "mix_corpus_threshold": (q_mix_corpus_threshold, SQL_MIX_CORPUS_THRESHOLD),
     "quality_repetition": (q_quality_repetition, SQL_QUALITY_REPETITION),
     "training_pipeline_full": (q_training_pipeline_full, SQL_TRAINING_PIPELINE_FULL),
     "corpus_stats": (q_corpus_stats, SQL_CORPUS_STATS),
