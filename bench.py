@@ -339,6 +339,7 @@ def main() -> None:
         "pack_sequences",
         "sample_stratified",
         "mix_corpus",
+        "mix_corpus_threshold",
         "quality_repetition",
         "training_pipeline_full",
         "html_extract",
