@@ -237,8 +237,9 @@ def _extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
             try:
                 decoded = decode_media(raw, mime)
                 ok = True
-            except (NotImplementedError, ValueError):
-                # undecodable media (missing codec OR malformed payload):
+            except (NotImplementedError, ValueError, struct.error):
+                # undecodable media (missing codec OR malformed payload,
+                # including truncated RIFF/BMP headers that fail mid-unpack):
                 # counted-and-carried, never silently dropped (lineage must
                 # account for every input row)
                 decoded, ok = b"", False

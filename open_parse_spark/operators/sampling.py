@@ -120,7 +120,15 @@ def mix_by_budget(
         F.col(id_col).alias("doc_id"),
         F.col(domain_col).alias("domain"),
         token_count(F.coalesce(F.col(text_col), F.lit(""))).alias("tokens"),
-        F.expr(f"(weight_ppm * CAST({budget_tokens} AS BIGINT)) div 1000000")
+        # overflow-free floor(ppm*budget/1e6): the budget splits host-side
+        # into (q, r) = divmod(budget, 1e6); ppm*q + ppm*r div 1e6 is exact
+        # and every product fits int64 for ppm <= 1e6 at ANY int64 budget
+        # (a raw ppm*budget overflows past ~9.2T-token budgets)
+        F.expr(
+            f"weight_ppm * CAST({budget_tokens // 1_000_000} AS BIGINT)"
+            f" + (weight_ppm * CAST({budget_tokens % 1_000_000} AS BIGINT))"
+            f" div 1000000"
+        )
         .cast("long")
         .alias("quota"),
         F.md5(
@@ -190,7 +198,15 @@ def mix_by_budget_threshold(
         F.col(id_col).alias("doc_id"),
         F.col(domain_col).alias("domain"),
         token_count(F.coalesce(F.col(text_col), F.lit(""))).alias("tokens"),
-        F.expr(f"(weight_ppm * CAST({budget_tokens} AS BIGINT)) div 1000000")
+        # overflow-free floor(ppm*budget/1e6): the budget splits host-side
+        # into (q, r) = divmod(budget, 1e6); ppm*q + ppm*r div 1e6 is exact
+        # and every product fits int64 for ppm <= 1e6 at ANY int64 budget
+        # (a raw ppm*budget overflows past ~9.2T-token budgets)
+        F.expr(
+            f"weight_ppm * CAST({budget_tokens // 1_000_000} AS BIGINT)"
+            f" + (weight_ppm * CAST({budget_tokens % 1_000_000} AS BIGINT))"
+            f" div 1000000"
+        )
         .cast("long")
         .alias("quota"),
         F.md5(

@@ -139,14 +139,17 @@ def bm25_from_postings(
     batch path and the incrementally maintained streaming index.  With
     ``queries`` (a (query_id, text) DataFrame) the df-midpoint mining is
     bypassed; query term sets are assumed driver-small (broadcast)."""
-    df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
-
     stats = doc_len.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("total_words"),
     )
 
     if queries is None:
+        # mining needs the FULL vocabulary df relation (it searches all
+        # terms for the df midpoint); the user-query branch below does not
+        df_tbl = tf.groupBy("term").agg(
+            F.count(F.lit(1)).cast("long").alias("df")
+        )
         # deterministic query mining: 10 terms with df closest to n_docs/2,
         # paired into 5 queries.  The window runs on exactly N_QUERY_TERMS
         # rows.
@@ -167,9 +170,20 @@ def bm25_from_postings(
             )
         )
     else:
+        # df only for the handful of user terms: semi-join the postings
+        # against the broadcast term set BEFORE aggregating, so the df
+        # relation is bounded by the query set, not the corpus vocabulary
+        # (review finding — the old full-vocab groupBy shuffled every
+        # distinct term to attach df to ~tens of rows)
+        uterms = _user_query_terms(queries)
+        df_user = (
+            tf.join(F.broadcast(uterms.select("term").distinct()), "term")
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).cast("long").alias("df"))
+        )
         # user terms may be absent from the corpus: df = 0 (they match no
         # postings, so they only shift no-op idf mass)
-        picked = _user_query_terms(queries).join(df_tbl, "term", "left").select(
+        picked = uterms.join(df_user, "term", "left").select(
             "term",
             F.coalesce(F.col("df"), F.lit(0)).cast("long").alias("df"),
             "query_id",
@@ -330,23 +344,25 @@ def _ann_vector_leg(
         norm,
     )
 
+    # same zero-norm guard as the exact leg, applied to BOTH sides: a
+    # direction-less seed contributes no vector leg, and a zero-norm corpus
+    # row must not reach the cosine (x/0.0 is an ANSI DIVIDE_BY_ZERO, and
+    # LSH/IVF would otherwise bucket it into candidacy)
+    corpus = embeddings.where(norm(_as_double(F.col("embedding"))) > 0)
     seed_vecs = (
-        embeddings.join(
+        corpus.join(
             seeds.select(F.col("seed_id").alias("vec_id")).distinct(), "vec_id"
         )
         .select("vec_id", "embedding")
-        # same zero-norm guard as the exact leg: a direction-less seed
-        # contributes no vector leg
-        .where(norm(_as_double(F.col("embedding"))) > 0)
     )
     if leg == "lsh":
-        ann = lsh_topk(embeddings, seed_vecs, k=k_leg, **ann_params)
+        ann = lsh_topk(corpus, seed_vecs, k=k_leg, **ann_params)
     elif leg == "ivf":
-        ann = ivf_topk(embeddings, seed_vecs, k=k_leg, **ann_params)
+        ann = ivf_topk(corpus, seed_vecs, k=k_leg, **ann_params)
     elif leg == "pq":
         from open_parse_spark.operators.pq import pq_topk_quantized
 
-        ann = pq_topk_quantized(embeddings, seed_vecs, k=k_leg, **ann_params)
+        ann = pq_topk_quantized(corpus, seed_vecs, k=k_leg, **ann_params)
     else:
         raise ValueError(
             f"leg must be 'exact', 'lsh', 'ivf' or 'pq', got {leg!r}"

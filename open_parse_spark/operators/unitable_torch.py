@@ -87,7 +87,16 @@ def pred_token_within_range_np(
     black_list: Optional[Sequence[int]] = None,
 ) -> np.ndarray:
     """Constrain logits to a token range; reference utils.py:34-46.
-    Exactly one of white/black list may be given (same assert)."""
+    Exactly one of white/black list may be given (same assert).
+
+    Bug-compatible by design: the reference gates on TRUTHINESS
+    (``if white_list:``, utils.py:40), so an EMPTY whitelist means
+    "unconstrained", not "mask everything" — this port keeps that exact
+    semantic because the decode differentials pin equality with the
+    reference's own code.  The one divergence is defensive: the reference
+    falls through to ``pred[..., None] = -inf`` when both lists are None
+    (a tensor-corrupting no-constraint call); the ``if black_list:`` guard
+    here makes that call a clean no-op instead."""
     assert white_list is None or black_list is None
     pred = np.array(pred, dtype=np.float64, copy=True)
     if white_list:

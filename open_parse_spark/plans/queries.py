@@ -2681,7 +2681,8 @@ sized AS (
   SELECT d.doc_id::BIGINT AS doc_id, d.lang AS domain,
          coalesce(len(regexp_extract_all(coalesce(d.text,''),
                                          '[A-Za-z0-9]+')), 0)::BIGINT AS tokens,
-         (w.weight_ppm * {MIX_BUDGET_TOKENS}::BIGINT) // 1000000 AS quota,
+         w.weight_ppm * {MIX_BUDGET_TOKENS // 1_000_000}::BIGINT
+           + (w.weight_ppm * {MIX_BUDGET_TOKENS % 1_000_000}::BIGINT) // 1000000 AS quota,
          md5(concat_ws(':', d.doc_id::VARCHAR, d.text)) AS h
   FROM documents d JOIN w ON w.domain = d.lang
 ), staged AS (
@@ -2729,7 +2730,8 @@ sized AS (
   SELECT d.doc_id::BIGINT AS doc_id, d.lang AS domain,
          coalesce(len(regexp_extract_all(coalesce(d.text,''),
                                          '[A-Za-z0-9]+')), 0)::BIGINT AS tokens,
-         (w.weight_ppm * {MIX_BUDGET_TOKENS}::BIGINT) // 1000000 AS quota,
+         w.weight_ppm * {MIX_BUDGET_TOKENS // 1_000_000}::BIGINT
+           + (w.weight_ppm * {MIX_BUDGET_TOKENS % 1_000_000}::BIGINT) // 1000000 AS quota,
          (('0x' || substr(md5(concat_ws(':', d.doc_id::VARCHAR, d.text)),
                           1, 15))::BIGINT)::DOUBLE
            / 1152921504606846976.0 AS h60

@@ -466,3 +466,24 @@ def test_mixture_weights_ppm_sqrt_temperature(spark):
 
     out = mix_by_budget(docs, sq, 56).collect()
     assert {r["domain"] for r in out} == {"en", "fr", "de"}
+
+
+def test_mix_quota_arithmetic_is_overflow_free(spark):
+    """floor(ppm*budget/1e6) via the host-side budget split: exact at
+    frontier budgets where the naive ppm*budget product exceeds int64
+    (review finding — ppm=1e6 overflowed past ~9.2T tokens)."""
+    budget = 15_000_000_000_000  # 15T tokens, past the old overflow point
+    bq, br = divmod(budget, 1_000_000)
+    expr = (
+        f"weight_ppm * CAST({bq} AS BIGINT)"
+        f" + (weight_ppm * CAST({br} AS BIGINT)) div 1000000"
+    )
+    rows = [(1,), (333,), (499_999,), (500_000,), (999_999,), (1_000_000,)]
+    got = {
+        r["weight_ppm"]: r["quota"]
+        for r in spark.createDataFrame(rows, "weight_ppm long")
+        .selectExpr("weight_ppm", f"{expr} AS quota")
+        .collect()
+    }
+    for (ppm,) in rows:
+        assert got[ppm] == ppm * budget // 1_000_000, ppm

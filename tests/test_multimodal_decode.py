@@ -173,3 +173,19 @@ def test_spark_stage_mixes_real_and_fake_payloads(spark):
     assert got[5]["decode_ok"]  # stubbed pass-through
     plan = extract_media_features(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_truncated_riff_is_carried_not_crashed(spark):
+    """A payload that starts like a RIFF/WAV but ends mid-'fmt ' chunk makes
+    struct.unpack_from raise struct.error — the lineage contract says such
+    rows are counted-and-carried decode_ok=false, never a job failure."""
+    truncated = (
+        b"RIFF" + struct.pack("<I", 100) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16) + b"\x01\x00"  # ends early
+    )
+    df = spark.createDataFrame(
+        [(1, "audio", "audio/wav", bytearray(truncated))],
+        "media_id long, kind string, mime string, data binary",
+    )
+    got = {r["media_id"]: r for r in extract_media_features(df).collect()}
+    assert not got[1]["decode_ok"] and got[1]["feature"] == []
