@@ -142,12 +142,14 @@ def _steal_gated(label: str, run):
         if steal <= MAX_STEAL:
             _note_attempts(label, attempt, steal, gave_up=False)
             return result, steal
-        print(
-            f"steal-gate[{label}]: attempt {attempt} saw {steal:.1f}% steal "
-            f"(> {MAX_STEAL}%), retrying after {STEAL_PAUSE_S:.0f}s",
-            file=sys.stderr,
-        )
-        time.sleep(STEAL_PAUSE_S)
+        if attempt < STEAL_RETRIES:  # no pause/"retrying" after the last try
+            print(
+                f"steal-gate[{label}]: attempt {attempt} saw {steal:.1f}% "
+                f"steal (> {MAX_STEAL}%), retrying after "
+                f"{STEAL_PAUSE_S:.0f}s",
+                file=sys.stderr,
+            )
+            time.sleep(STEAL_PAUSE_S)
     _note_attempts(label, STEAL_RETRIES, best[0], gave_up=True)
     return best[1], best[0]
 

@@ -126,7 +126,12 @@ class TorchTextEmbedder:
         self.device = device
 
     def _load(self):
-        key = f"text-embed:{self.checkpoint}"
+        # device is part of the key: two embedders with different devices in
+        # one worker must not share a model homed on the wrong device
+        # (review finding — enc tensors are moved per self.device at encode
+        # time, so a cache hit across devices would mix devices or silently
+        # run on the wrong one)
+        key = f"text-embed:{self.checkpoint}:{self.device or 'default'}"
         if key not in _MODELS:
             import torch
             from transformers import AutoModel, AutoTokenizer

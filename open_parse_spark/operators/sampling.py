@@ -78,6 +78,49 @@ def stratified_sample_threshold(
     ).where(F.col("h60") < F.lit(num / den)).select("doc_id", "stratum")
 
 
+def _sized_with_quota(
+    df: DataFrame,
+    weights_ppm: "dict[str, int]",
+    budget_tokens: int,
+    domain_col: str,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Shared first stage of both mixers: broadcast-join the tiny weights
+    relation and emit (doc_id, domain, tokens, quota, h) — one source of
+    truth so the exact and threshold twins (and their DuckDB oracles) can
+    never diverge on the join/hash/quota arithmetic.
+
+    The quota is overflow-free floor(ppm*budget/1e6): the budget splits
+    host-side into (q, r) = divmod(budget, 1e6); ppm*q + ppm*r div 1e6 is
+    exact and every product fits int64 for ppm <= 1e6 at ANY int64 budget
+    (a raw ppm*budget overflows past ~9.2T-token budgets)."""
+    from open_parse_spark.functions.text import token_count
+
+    spark = df.sparkSession
+    w_df = F.broadcast(
+        spark.createDataFrame(
+            [(d, int(p)) for d, p in sorted(weights_ppm.items())],
+            f"{domain_col} string, weight_ppm long",
+        )
+    )
+    return df.join(w_df, domain_col).select(
+        F.col(id_col).alias("doc_id"),
+        F.col(domain_col).alias("domain"),
+        token_count(F.coalesce(F.col(text_col), F.lit(""))).alias("tokens"),
+        F.expr(
+            f"weight_ppm * CAST({budget_tokens // 1_000_000} AS BIGINT)"
+            f" + (weight_ppm * CAST({budget_tokens % 1_000_000} AS BIGINT))"
+            f" div 1000000"
+        )
+        .cast("long")
+        .alias("quota"),
+        F.md5(
+            F.concat_ws(":", F.col(id_col).cast("string"), F.col(text_col))
+        ).alias("h"),
+    )
+
+
 def mix_by_budget(
     df: DataFrame,
     weights_ppm: "dict[str, int]",
@@ -107,33 +150,8 @@ def mix_by_budget(
     bounded epochs array.  Nothing is proportional to corpus size on the
     driver; epoch counts are bounded by quota/domain_tokens.
     """
-    from open_parse_spark.functions.text import token_count
-
-    spark = df.sparkSession
-    w_df = F.broadcast(
-        spark.createDataFrame(
-            [(d, int(p)) for d, p in sorted(weights_ppm.items())],
-            f"{domain_col} string, weight_ppm long",
-        )
-    )
-    sized = df.join(w_df, domain_col).select(
-        F.col(id_col).alias("doc_id"),
-        F.col(domain_col).alias("domain"),
-        token_count(F.coalesce(F.col(text_col), F.lit(""))).alias("tokens"),
-        # overflow-free floor(ppm*budget/1e6): the budget splits host-side
-        # into (q, r) = divmod(budget, 1e6); ppm*q + ppm*r div 1e6 is exact
-        # and every product fits int64 for ppm <= 1e6 at ANY int64 budget
-        # (a raw ppm*budget overflows past ~9.2T-token budgets)
-        F.expr(
-            f"weight_ppm * CAST({budget_tokens // 1_000_000} AS BIGINT)"
-            f" + (weight_ppm * CAST({budget_tokens % 1_000_000} AS BIGINT))"
-            f" div 1000000"
-        )
-        .cast("long")
-        .alias("quota"),
-        F.md5(
-            F.concat_ws(":", F.col(id_col).cast("string"), F.col(text_col))
-        ).alias("h"),
+    sized = _sized_with_quota(
+        df, weights_ppm, budget_tokens, domain_col, text_col, id_col
     )
     wd = Window.partitionBy("domain")
     wo = wd.orderBy(F.col("h").asc(), F.col("doc_id").asc()).rowsBetween(
@@ -185,33 +203,8 @@ def mix_by_budget_threshold(
     so a single domain spanning thousands of partitions costs nothing
     extra.  Coverage is in expectation (±sqrt-of-domain-size tokens);
     `mix_by_budget` remains the exact correctness baseline and oracle."""
-    from open_parse_spark.functions.text import token_count
-
-    spark = df.sparkSession
-    w_df = F.broadcast(
-        spark.createDataFrame(
-            [(d, int(p)) for d, p in sorted(weights_ppm.items())],
-            f"{domain_col} string, weight_ppm long",
-        )
-    )
-    sized = df.join(w_df, domain_col).select(
-        F.col(id_col).alias("doc_id"),
-        F.col(domain_col).alias("domain"),
-        token_count(F.coalesce(F.col(text_col), F.lit(""))).alias("tokens"),
-        # overflow-free floor(ppm*budget/1e6): the budget splits host-side
-        # into (q, r) = divmod(budget, 1e6); ppm*q + ppm*r div 1e6 is exact
-        # and every product fits int64 for ppm <= 1e6 at ANY int64 budget
-        # (a raw ppm*budget overflows past ~9.2T-token budgets)
-        F.expr(
-            f"weight_ppm * CAST({budget_tokens // 1_000_000} AS BIGINT)"
-            f" + (weight_ppm * CAST({budget_tokens % 1_000_000} AS BIGINT))"
-            f" div 1000000"
-        )
-        .cast("long")
-        .alias("quota"),
-        F.md5(
-            F.concat_ws(":", F.col(id_col).cast("string"), F.col(text_col))
-        ).alias("h"),
+    sized = _sized_with_quota(
+        df, weights_ppm, budget_tokens, domain_col, text_col, id_col
     )
     totals = F.broadcast(
         sized.groupBy("domain")

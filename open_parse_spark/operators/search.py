@@ -376,8 +376,8 @@ def _ann_vector_leg(
             ),
             "seed_id",
         )
-        # the seed doc can appear as another query's neighbor, but never as
-        # its own (ANN guard); drop any neighbor equal to THIS query's seed
-        .where(F.col("doc_id") != F.col("seed_id"))
+        # no seed-exclusion filter needed: each joined row carries neighbors
+        # of ITS OWN seed, and the ANN families' query_id != neighbor_id
+        # guard already excludes the seed from its own neighbor list
         .select("query_id", "doc_id", "rank_vec")
     )
