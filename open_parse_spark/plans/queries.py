@@ -67,7 +67,7 @@ def q_parse_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     transcripts = documents_as_transcripts(_tbl(spark, sf_dir, "documents"))
     nodes = parse_transcripts(
         transcripts,
-        repartition_for_skew=False,
+        repartition_for_skew="auto",
         output_columns=["conv_id", "turn_idx", "node_idx", "text", "tokens"],
     )
     return nodes.orderBy("conv_id", "turn_idx", "node_idx")
@@ -81,7 +81,7 @@ def q_parse_bbox_debug(spark: SparkSession, sf_dir: str) -> DataFrame:
     transcripts = documents_as_transcripts(_tbl(spark, sf_dir, "documents"))
     # bbox is a nested column: the narrow-output fast path can't carry it,
     # so this query takes the full node schema (debug sink, not a hot path)
-    nodes = parse_transcripts(transcripts, repartition_for_skew=False)
+    nodes = parse_transcripts(transcripts, repartition_for_skew="auto")
     return nodes_bbox_debug(nodes).orderBy("conv_id", "turn_idx", "node_idx", "page")
 
 
@@ -92,7 +92,7 @@ def q_parse_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     transcripts = documents_as_transcripts(_tbl(spark, sf_dir, "documents"))
     nodes = parse_transcripts(
         transcripts,
-        repartition_for_skew=False,
+        repartition_for_skew="auto",
         output_columns=["conv_id", "turn_idx", "node_idx", "tokens"],
     )
     return parse_quality_metrics(nodes)
@@ -641,7 +641,7 @@ def q_export_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
     transcripts = documents_as_transcripts(_tbl(spark, sf_dir, "documents"))
     nodes = parse_transcripts(
         transcripts,
-        repartition_for_skew=False,
+        repartition_for_skew="auto",
         output_columns=["conv_id", "turn_idx", "node_idx", "text"],
     )
     return nodes_with_relations(nodes).select(
@@ -1928,7 +1928,7 @@ def q_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     transcripts = documents_as_transcripts(_tbl(spark, sf_dir, "documents"))
     nodes = parse_transcripts(
         transcripts,
-        repartition_for_skew=False,
+        repartition_for_skew="auto",
         output_columns=["conv_id", "turn_idx", "node_idx", "tokens"],
     )
     return extraction_metrics(nodes)
@@ -1959,7 +1959,7 @@ def q_parse_metrics_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     transcripts = documents_as_transcripts(_tbl(spark, sf_dir, "documents"))
     nodes = parse_transcripts(
         transcripts,
-        repartition_for_skew=False,
+        repartition_for_skew="auto",
         output_columns=["conv_id", "turn_idx", "node_idx", "text", "tokens"],
     )
     m = parse_quality_metrics(nodes).select(
@@ -2022,7 +2022,7 @@ def q_eval_metrics_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     transcripts = documents_as_transcripts(_tbl(spark, sf_dir, "documents"))
     nodes = parse_transcripts(
         transcripts,
-        repartition_for_skew=False,
+        repartition_for_skew="auto",
         output_columns=["conv_id", "turn_idx", "node_idx", "tokens"],
     )
     e = extraction_metrics(nodes)
@@ -2060,7 +2060,7 @@ def q_eval_variant_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     transcripts = documents_as_transcripts(_tbl(spark, sf_dir, "documents"))
     nodes = parse_transcripts(
         transcripts,
-        repartition_for_skew=False,
+        repartition_for_skew="auto",
         output_columns=["conv_id", "turn_idx", "node_idx", "variant", "tokens"],
     )
     return variant_mix(nodes)
@@ -2073,7 +2073,7 @@ def q_conversation_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     transcripts = documents_as_transcripts(_tbl(spark, sf_dir, "documents"))
     nodes = parse_transcripts(
         transcripts,
-        repartition_for_skew=False,
+        repartition_for_skew="auto",
         output_columns=["conv_id", "turn_idx", "node_idx", "text", "tokens"],
     )
     return conversation_assembly(nodes)
@@ -2169,7 +2169,7 @@ def q_export_relations_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     transcripts = documents_as_transcripts(_tbl(spark, sf_dir, "documents"))
     nodes = parse_transcripts(
         transcripts,
-        repartition_for_skew=False,
+        repartition_for_skew="auto",
         output_columns=["conv_id", "turn_idx", "node_idx", "text"],
     )
     rel = nodes_with_relations(nodes)
@@ -3187,7 +3187,7 @@ def q_parse_html_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_html_doc_expr("cast(doc_id as string)")).alias("text"),
     )
     return parse_transcripts(
-        documents_as_transcripts(wrapped), repartition_for_skew=False
+        documents_as_transcripts(wrapped), repartition_for_skew="auto"
     ).select("conv_id", "turn_idx", "node_idx", "text", "tokens")
 
 

@@ -295,6 +295,29 @@ def _input_file_bytes(df: DataFrame) -> int:
     return total
 
 
+def _input_row_groups(df: DataFrame) -> int:
+    """Total parquet row groups across the source files (footer metadata
+    only, no data read).  Byte-ranged splits cannot spread rows across more
+    tasks than there are row groups — a 1-row-group file parses on ONE core
+    no matter how many splits the scan conf plans — so the effective scan
+    parallelism is ``min(n_splits, n_row_groups)``.  Only called when the
+    split count is already below ~3x the core count, so the file list (and
+    the footer reads) are small by construction."""
+    try:
+        import pyarrow.parquet as pq
+
+        total = 0
+        for f in df.inputFiles():
+            if f.startswith("file:"):
+                f = f[len("file:") :]
+            if not f.endswith(".parquet"):
+                return 1 << 30  # non-parquet: assume freely splittable
+            total += pq.ParquetFile(f).metadata.num_row_groups
+        return total
+    except Exception:
+        return 1 << 30  # metadata unavailable: keep the prior behavior
+
+
 def payload_size_histogram(
     df: DataFrame,
     probabilities: Tuple[float, ...] = (0.5, 0.9, 0.99, 1.0),
@@ -417,13 +440,31 @@ def parse_transcripts(
                         "spark.sql.files.maxPartitionBytes", str(split_bytes)
                     )
                     n_splits = pruned.rdd.getNumPartitions()
-        # a file-backed source is already size-balanced by byte-ranged
-        # splits; shuffle only non-file sources that stay under-split
-        if n_splits < parallelism and total_bytes == 0:
-            # non-file source that cannot be re-split: salted shuffle on a
-            # payload-size-histogram partition plan
+        # a big file-backed source is already size-balanced by byte-ranged
+        # splits.  But splits only parallelize down to ROW GROUPS: a small
+        # source (one tiny file, or files written as single row groups)
+        # stays effectively under-split however low the split conf goes,
+        # and the parse is CPU-bound — leaving cores idle costs seconds
+        # while moving the source's bytes once costs milliseconds.  So the
+        # salted-shuffle fallback now covers ANY source whose effective
+        # parallelism (splits capped by row groups) is below the core
+        # count, not just non-file sources (r6: parse_flagship ran its
+        # whole 5k-doc parse on one core at 32).
+        effective = n_splits
+        if total_bytes > 0:
+            # only reached when the initial split count was < 3x cores, so
+            # the file list is small and the footer reads are cheap
+            effective = min(n_splits, _input_row_groups(df))
+        if effective < parallelism:
             planned = num_partitions
-            if planned is None:
+            if planned is None and total_bytes > 0:
+                # size known from metadata: plan directly, no histogram jobs
+                planned = max(
+                    2 * parallelism,
+                    total_bytes // target_bytes_per_partition + 1,
+                )
+            elif planned is None:
+                # non-file source: payload-size-histogram partition plan
                 hist = payload_size_histogram(
                     pruned, sample_fraction=histogram_sample
                 )
