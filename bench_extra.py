@@ -66,6 +66,11 @@ def main() -> None:
     from open_parse_spark.plans.queries import REGISTRY
 
     spark = _spark(cpus)
+    # ad-hoc conf A/Bs: BENCH_EXTRA_CONF="k=v;k=v" (runtime-settable confs)
+    for kv in os.environ.get("BENCH_EXTRA_CONF", "").split(";"):
+        if "=" in kv:
+            k, v = kv.split("=", 1)
+            spark.conf.set(k.strip(), v.strip())
 
     # match bench.py: python workers are warm before any query is timed
     import pandas as pd  # noqa: F401

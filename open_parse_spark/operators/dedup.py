@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from open_parse_spark.functions.text import fingerprint, word_ngrams, words
+from open_parse_spark.spark.scan import ensure_parallelism
 from open_parse_spark.spark.stage import stage
 
 
@@ -95,7 +96,11 @@ def ngram_jaccard_pairs(
     executor loss fails the job instead of recomputing — at cluster scale
     either accept job-level retry (batch semantics) or stage the grams to a
     table; pass False for the pure-declarative plan."""
-    grams = _doc_ngrams(df, text_col, id_col, n, max_df)
+    # the regex n-gram expansion is the CPU wall; a one-row-group scan
+    # would serialize it on one task (r6 profile: 2.6 s of a 3.5 s wall)
+    grams = _doc_ngrams(
+        ensure_parallelism(df, id_col), text_col, id_col, n, max_df
+    )
     if materialize:
         grams = stage(grams, eager=False)
     sizes = grams.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams"))
@@ -171,7 +176,7 @@ def doc_gram_hashes(
 ) -> DataFrame:
     """(id, grams: array<long>) — distinct word-n-gram hash values per
     doc, built entirely JVM-side (no explode, no shuffle)."""
-    return df.select(
+    return ensure_parallelism(df, id_col).select(
         F.col(id_col).alias("id"),
         F.array_distinct(
             F.transform(
@@ -405,7 +410,7 @@ def ngram_contamination(
     map-side joined, and aggregated on ``id`` with partial aggregation; no
     corpus-side shuffle on gram.  Returns every training doc with
     (shared_grams, contaminated)."""
-    train_grams = train.select(
+    train_grams = ensure_parallelism(train, id_col).select(
         F.col(id_col).alias("id"),
         F.explode(word_ngrams(F.col(text_col), n)).alias("gram"),
     )
@@ -504,7 +509,9 @@ def winnow_fingerprints(
     # filter on text length, not size(kh): a size(kh) predicate gets pushed
     # into the scan and re-evaluates the whole k-gram transform per row in
     # the filter (doubling the hash work); length >= k+w-1 is equivalent
-    khashes = df.where(F.length(text_col) >= k + window - 1).select(
+    khashes = ensure_parallelism(df, id_col).where(
+        F.length(text_col) >= k + window - 1
+    ).select(
         F.col(id_col).alias("id"),
         F.transform(
             F.sequence(F.lit(1), F.length(text_col) - (k - 1)),
@@ -532,33 +539,67 @@ def simhash(
     hasher: str = "xxhash64",
 ) -> DataFrame:
     """SimHash over words: bit_i = sign(sum over words of
-    (+1 if hash(word) bit_i else -1)).  All bit ops JVM-side.
+    (+1 if hash(word) bit_i else -1)).
 
     64 bits with the xxhash64 default; 60 bits with ``hasher='md5'`` (the
     oracle-reproducible 15-hex-char parse — 60 bits keeps the value inside a
-    signed BIGINT on both engines)."""
+    signed BIGINT on both engines).
+
+    r6 shape: the per-word hashes stay JVM expressions (codegen md5/xxhash64,
+    exactly what the oracle replays), but the bit fold is one vectorized
+    Arrow pass over the per-doc hash arrays — MAP-ONLY, replacing the word
+    explode + 60-column groupBy shuffle (which was also the whole query's
+    CPU wall: 60 interpreted sum-branches per exploded word).  Integer-only
+    numpy (+1/-1 counts, disjoint bit weights) is bit-identical to the JVM
+    fold on any partitioning; docs with zero words drop out exactly as the
+    explode+groupBy dropped them."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import LongType
+
     n_bits = 64 if hasher == "xxhash64" else 60
-    w = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(words(F.col(text_col))).alias("word"),
-    ).withColumn("h", _hash_long(F.col("word"), hasher))
-    bit_sums = w.groupBy("id").agg(
-        *[
-            F.sum(
-                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1)
-                .otherwise(-1)
-            ).alias(f"bs_{i}")
-            for i in range(n_bits)
-        ]
-    )
-    sim = F.lit(0).cast("long")
-    for i in range(n_bits):
-        sim = sim.bitwiseOR(
-            F.when(F.col(f"bs_{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
-                F.lit(0).cast("long")
+
+    def _fold(hs_series):
+        out = np.zeros(len(hs_series), dtype=np.uint64)
+        arrs = hs_series.values
+        flat = np.concatenate(
+            [np.asarray(a, dtype=np.int64) for a in arrs if len(a)]
+        ) if any(len(a) for a in arrs) else np.empty(0, dtype=np.int64)
+        if len(flat):
+            lens = np.array([len(a) for a in arrs], dtype=np.int64)
+            # (n_words, n_bits) +1/-1, reduced per doc, sign -> bit
+            bits = ((flat[:, None] >> np.arange(n_bits, dtype=np.int64)) & 1)
+            contrib = bits * 2 - 1  # +1 / -1
+            starts = np.zeros(len(arrs), dtype=np.int64)
+            starts[1:] = np.cumsum(lens)[:-1]
+            nz = lens > 0
+            sums = np.zeros((len(arrs), n_bits), dtype=np.int64)
+            if nz.any():
+                red = np.add.reduceat(contrib, starts[nz], axis=0)
+                # reduceat with repeated starts (zero-length segments) is
+                # avoided by indexing only non-empty docs
+                sums[nz] = red
+            weights = (np.uint64(1) << np.arange(n_bits, dtype=np.uint64))
+            out = ((sums > 0).astype(np.uint64) * weights).sum(
+                axis=1, dtype=np.uint64
             )
-        )
-    return bit_sums.select("id", sim.alias("simhash"))
+        return pd.Series(out.astype(np.uint64).view(np.int64))
+
+    fold = F.pandas_udf(_fold, LongType())
+    # "has at least one word" as a cheap scan-level predicate: words() is
+    # regexp_extract_all('[A-Za-z0-9]+'), so rlike('[A-Za-z0-9]') is exactly
+    # size(words(text)) > 0 — filtering on size(hs) instead put the ENTIRE
+    # hash transform inside the pushed-down filter below the exchange
+    # (evaluated twice, once on the unparallelized scan; r6 plan finding)
+    hs = ensure_parallelism(
+        df.where(F.col(text_col).rlike("[A-Za-z0-9]")), id_col
+    ).select(
+        F.col(id_col).alias("id"),
+        F.transform(
+            words(F.col(text_col)), lambda w: _hash_long(w, hasher)
+        ).alias("hs"),
+    )
+    return hs.select("id", fold(F.col("hs")).alias("simhash"))
 
 
 def simhash_candidates(
@@ -572,7 +613,11 @@ def simhash_candidates(
     global difference guaranteed caught in at least one band)."""
     band_bits = 16 if hasher == "xxhash64" else 15
     mask = (1 << band_bits) - 1
-    s = simhash(df, text_col, id_col, hasher)
+    # the banded self-join consumes the simhash relation on BOTH sides; one
+    # materialization computes the word-explode + per-word hash + 60-bit
+    # fold once instead of per consumer (the broadcast build side cannot
+    # reuse the other side's exchange)
+    s = stage(simhash(df, text_col, id_col, hasher), eager=False)
     bands = s.select(
         "id",
         F.explode(
@@ -624,7 +669,7 @@ def remove_boilerplate_lines(
     ``id_col`` uniquely identifies a row (a document table), as reassembly
     by (doc, pos) requires.
     """
-    lines = df.select(
+    lines = ensure_parallelism(df, id_col).select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(
             F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
@@ -696,7 +741,7 @@ def duplicate_spans(
 
     from open_parse_spark.functions.text import word_ngrams_all
 
-    grams = df.select(
+    grams = ensure_parallelism(df, id_col).select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(word_ngrams_all(F.col(text_col), n)).alias("pos", "gram"),
     )
@@ -828,7 +873,7 @@ def bloom_decontaminate(
         .distinct()
     )
 
-    grams = train.select(
+    grams = ensure_parallelism(train, id_col).select(
         F.col(id_col).alias("doc_id"),
         F.explode(word_ngrams(F.col(text_col), n)).alias("gram"),
     )

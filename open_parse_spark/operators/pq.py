@@ -119,14 +119,21 @@ def _assign_codes_arrow(books: _Books, n_sub: int, sub: int):
     return F.pandas_udf(_assign, ArrayType(LongType()))
 
 
-def _codebook_df(spark, rows_or_tuples, from_rows: bool) -> DataFrame:
-    data = [
-        (int(r["s"]), int(r["code"]), [int(x) for x in r["cq"]])
-        if from_rows
-        else r
-        for r in rows_or_tuples
-    ]
-    return spark.createDataFrame(data, "s int, code long, cq array<bigint>")
+def _codebook_df(spark, tuples) -> DataFrame:
+    import pandas as pd
+
+    # arrow-path local relation: a plain-list createDataFrame round-trips
+    # through pickled RDD slices and spawns python workers (r6 profile)
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "s": [t[0] for t in tuples],
+                "code": [t[1] for t in tuples],
+                "cq": [t[2] for t in tuples],
+            }
+        ),
+        "s int, code long, cq array<bigint>",
+    )
 
 
 def _train_books(
@@ -230,7 +237,7 @@ def pq_codebooks_quantized(
     _books, rows = _train_books(
         embeddings, n_sub, n_codes, iters, id_col, vec_col, scale, dim
     )
-    return _codebook_df(embeddings.sparkSession, rows, from_rows=False)
+    return _codebook_df(embeddings.sparkSession, rows)
 
 
 def pq_topk_quantized(

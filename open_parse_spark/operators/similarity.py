@@ -182,10 +182,18 @@ def kmeans_centroids(
     dim = _dim_of(embeddings, vec_col)  # one driver read, hoisted out of Lloyd
     if dim == 0:  # empty corpus: no centroids (schema-stable empty frame)
         return init
-    centroids = init
+    spark = embeddings.sparkSession
+    # the k updated centroids are the bounded per-iteration driver read
+    # (the next assignment needs them as a numpy literal anyway); carrying
+    # plain ROWS through the loop truncates the iterative lineage with no
+    # checkpoint job, and ONE single-slice local relation at the end keeps
+    # downstream consumers (probe crossJoin, final assignment) cheap —
+    # a per-iteration createDataFrame sliced 1 row/partition spawned a
+    # 32-task python-worker wave per iteration (r6 profile)
+    rows = init.collect()
     for _ in range(iters):
-        assigned = _assign_to_centroids(c, centroids)
-        centroids = (
+        assigned = _assign_to_centroids(c, rows)
+        agg = (
             assigned.groupBy("centroid_id")
             .agg(
                 F.array(
@@ -196,11 +204,18 @@ def kmeans_centroids(
                 ).alias("centroid")
             )
         )
-        # truncate the iterative lineage: centroids are k tiny rows, but an
-        # un-checkpointed loop makes every downstream reference re-execute
-        # ALL previous iterations (and ivf_topk references centroids twice)
-        centroids = stage(centroids)
-    return centroids
+        rows = agg.collect()
+    import pandas as pd
+
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "centroid_id": [int(r["centroid_id"]) for r in rows],
+                "centroid": [[float(x) for x in r["centroid"]] for r in rows],
+            }
+        ),
+        "centroid_id int, centroid array<double>",
+    )
 
 
 def _dim_of(embeddings: DataFrame, vec_col: str) -> int:
@@ -226,7 +241,8 @@ def _assign_to_centroids(c: DataFrame, centroids: DataFrame) -> DataFrame:
     import pandas as pd
     from pyspark.sql.types import LongType
 
-    rows = sorted(centroids.collect(), key=lambda r: r["centroid_id"])
+    rows = centroids if isinstance(centroids, list) else centroids.collect()
+    rows = sorted(rows, key=lambda r: r["centroid_id"])
     if not rows:  # empty corpus/centroids: no assignments (lazy empty frame)
         return c.select(
             "id", "v", F.lit(None).cast("long").alias("centroid_id")
@@ -299,7 +315,8 @@ def _assign_to_centroids_int(c: DataFrame, centroids: DataFrame) -> DataFrame:
     import pandas as pd
     from pyspark.sql.types import LongType
 
-    rows = sorted(centroids.collect(), key=lambda r: r["centroid_id"])
+    rows = centroids if isinstance(centroids, list) else centroids.collect()
+    rows = sorted(rows, key=lambda r: r["centroid_id"])
     if not rows:
         return c.select(
             "id", "vq", F.lit(None).cast("long").alias("centroid_id")
@@ -380,10 +397,13 @@ def kmeans_centroids_quantized(
     dim = _dim_of(embeddings, vec_col)
     if dim == 0:
         return init
-    centroids = init
+    spark = embeddings.sparkSession
+    # rows through the loop, one single-slice local relation at the end
+    # (see kmeans_centroids): bounded k-row driver reads, no checkpoint jobs
+    rows = init.collect()
     for _ in range(iters):
-        assigned = _assign_to_centroids_int(c, centroids)
-        centroids = assigned.groupBy("centroid_id").agg(
+        assigned = _assign_to_centroids_int(c, rows)
+        agg = assigned.groupBy("centroid_id").agg(
             F.array(
                 *[
                     # declared fixed-point rounding: sum and count are exact
@@ -400,8 +420,18 @@ def kmeans_centroids_quantized(
                 ]
             ).alias("cq")
         )
-        centroids = stage(centroids)
-    return centroids
+        rows = agg.collect()
+    import pandas as pd
+
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "centroid_id": [int(r["centroid_id"]) for r in rows],
+                "cq": [[int(x) for x in r["cq"]] for r in rows],
+            }
+        ),
+        "centroid_id int, cq array<bigint>",
+    )
 
 
 def ivf_topk_quantized(
