@@ -177,21 +177,36 @@ def _flat_decode_text_lines(raw_lines: list):
         ]
         line_specs.append(((b0, b1, b2, b3), tuple(flags)))
         n = len(flags)
-        parts = []
-        for i, (t, bold, italic, _sz) in enumerate(flags):
-            # TextSpan.formatted_text transition markers, same order:
-            # bold prefix, italic prefix (outermost left), bold suffix,
-            # italic suffix (outermost right)
-            if bold and (i == 0 or not flags[i - 1][1]):
-                t = "**" + t
-            if italic and (i == 0 or not flags[i - 1][2]):
-                t = "*" + t
-            if bold and (i == n - 1 or not flags[i + 1][1]):
-                t = t + "**"
-            if italic and (i == n - 1 or not flags[i + 1][2]):
-                t = t + "*"
-            parts.append(t)
-        texts.append(clean_markdown_formatting("".join(parts)))
+        # fast paths for the two overwhelming cases (value-identical to the
+        # general transition-marker loop below): a single span, and a line
+        # with no styled span at all
+        if n == 1:
+            t, bold, italic, _sz = flags[0]
+            if bold:  # prefix order bold-then-italic, suffix the same
+                t = "***" + t + "***" if italic else "**" + t + "**"
+            elif italic:
+                t = "*" + t + "*"
+            texts.append(clean_markdown_formatting(t))
+        elif not any(f[1] or f[2] for f in flags):
+            texts.append(
+                clean_markdown_formatting("".join(f[0] for f in flags))
+            )
+        else:
+            parts = []
+            for i, (t, bold, italic, _sz) in enumerate(flags):
+                # TextSpan.formatted_text transition markers, same order:
+                # bold prefix, italic prefix (outermost left), bold suffix,
+                # italic suffix (outermost right)
+                if bold and (i == 0 or not flags[i - 1][1]):
+                    t = "**" + t
+                if italic and (i == 0 or not flags[i - 1][2]):
+                    t = "*" + t
+                if bold and (i == n - 1 or not flags[i + 1][1]):
+                    t = t + "**"
+                if italic and (i == n - 1 or not flags[i + 1][2]):
+                    t = t + "*"
+                parts.append(t)
+            texts.append(clean_markdown_formatting("".join(parts)))
         if all_heading or all_bold:
             # LineElement style folds ignore the trailing span when >1 span
             style = flags[:-1] if n > 1 else flags

@@ -68,12 +68,20 @@ def _get_bpe():
 #  - punctuation runs: <=3 chars per token
 #  - whitespace: a single space merges into the next word (0 tokens);
 #    longer runs cost 1 per run
+#  Branch order/quantifiers tuned r6 (counts PROVABLY identical: every
+#  branch is a quantified class with nothing after it, so possessive ==
+#  greedy, and the letter/contraction branches are disjoint on the first
+#  character — the contraction still precedes the punctuation class that
+#  could also consume a lone apostrophe): letter runs first (the most
+#  common token) + possessive quantifiers measured ~10% faster than the
+#  original alternation on node-sized texts, equality asserted in
+#  tests/test_tokens.py.
 _PRETOKEN_RE = re.compile(
-    r"'(?:[sdmt]|ll|ve|re)"
-    r"|[A-Za-zÀ-￿]{1,4}"
-    r"|[0-9]{1,3}"
-    r"|[^\sA-Za-z0-9À-￿]{1,3}"
-    r"|\s{2,}"
+    r"[A-Za-zÀ-￿]{1,4}+"
+    r"|'(?:[sdmt]|ll|ve|re)"
+    r"|[0-9]{1,3}+"
+    r"|[^\sA-Za-z0-9À-￿]{1,3}+"
+    r"|\s{2,}+"
 )
 
 # counting via subn("") avoids materializing every matched substring the
