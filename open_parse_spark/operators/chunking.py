@@ -20,6 +20,7 @@ from functools import lru_cache
 from pyspark.sql import DataFrame, functions as F
 
 from open_parse_spark.functions.text import WORD_RE, words
+from open_parse_spark.spark.scan import ensure_parallelism
 
 
 def chunk_documents(
@@ -61,6 +62,11 @@ def chunk_documents(
     if not 0 <= overlap < window:
         raise ValueError("need 0 <= overlap < window")
     stride = window - overlap
+    # the word split + per-chunk slices + span-offset folds are the CPU
+    # wall; a one-row-group scan serializes them on one task (r6 profile:
+    # chunk_merge spent 2 s single-task tokenizing before its explicit
+    # repartition)
+    df = ensure_parallelism(df, id_col)
     sized = df.select(
         F.col(id_col).alias("doc_id"),
         words(F.col(text_col)).alias("ws"),
@@ -244,7 +250,14 @@ def merge_chunks_semantic(
     # clustered-distribution requirement, so no second exchange appears
     # (plan-pinned in tests/test_plan_shapes.py).
     spark = df.sparkSession
-    n_parts = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if num_partitions is not None:  # explicit 0 is invalid, not "unset"
+        n_parts = num_partitions
+    else:
+        try:
+            n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        except (TypeError, ValueError):
+            # e.g. "auto" under AQE-managed deployments (ADVICE r5)
+            n_parts = spark.sparkContext.defaultParallelism
     return (
         chunks.select("doc_id", "chunk_idx", "n_words", "chunk_words")
         .repartition(n_parts, "doc_id")

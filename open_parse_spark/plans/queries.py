@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from open_parse_spark.functions import text as T
 from open_parse_spark.operators import dedup as D
 from open_parse_spark.operators import similarity as S
+from open_parse_spark.spark.scan import ensure_parallelism
 from open_parse_spark.spark.stage import stage
 from open_parse_spark.spark.pipeline import parse_transcripts
 
@@ -2322,7 +2323,7 @@ def q_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     length in [3, 10] (via cross-multiplication), symbol-to-word ratio
     < 10%, and >=2 English stopwords.  Emits the per-rule flags so a
     pipeline can audit WHY a document was dropped."""
-    docs = _tbl(spark, sf_dir, "documents")
+    docs = ensure_parallelism(_tbl(spark, sf_dir, "documents"), "doc_id")
     t = F.coalesce(F.col("text"), F.lit(""))  # NULL text audits as empty
     n_words = T.word_count(t)
     # strip on RAW text (Java lower('İ') adds a combining char, changing
@@ -2764,7 +2765,7 @@ def q_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     One explode + two groupBy stages per n, all keyed (doc_id[, gram]) with
     map-side partial aggregation — scales linearly in corpus size."""
-    docs = _tbl(spark, sf_dir, "documents")
+    docs = ensure_parallelism(_tbl(spark, sf_dir, "documents"), "doc_id")
 
     def gram_stats(n: int, top: bool) -> DataFrame:
         grams = docs.select(
@@ -3093,7 +3094,7 @@ def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact whitespace-normalized round-trip are value-checked."""
     from open_parse_spark.operators.html import extract_main_content
 
-    docs = _tbl(spark, sf_dir, "documents")
+    docs = ensure_parallelism(_tbl(spark, sf_dir, "documents"), "doc_id")
     src = docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.expr(_html_doc_expr("cast(doc_id as string)")).alias("html"),
