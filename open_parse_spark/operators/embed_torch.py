@@ -223,8 +223,21 @@ def embed_documents(
         ]
     )
 
+    # decide the embedder ONCE on the driver (ADVICE r5): resolving inside
+    # the closure made the embedding dimension depend on each worker's
+    # torch availability — a heterogeneous-executor or driver/executor
+    # mismatch silently mixed 64-dim hashing vectors and model vectors in
+    # one column.  Workers that cannot honor the driver's decision raise.
+    use_torch = bool(prefer_torch and torch_text_available())
+
     def run(batches):
-        emb = get_embedder(dim=dim, prefer_torch=prefer_torch)
+        if use_torch and not torch_text_available():
+            raise RuntimeError(
+                "driver resolved the torch text embedder but this worker "
+                "lacks torch/transformers — install them on every executor "
+                "or call embed_documents(prefer_torch=False)"
+            )
+        emb = get_embedder(dim=dim, prefer_torch=use_torch)
         for pdf in batches:
             texts = ["" if t is None else str(t) for t in pdf[text_col]]
             vecs: List[List[float]] = []

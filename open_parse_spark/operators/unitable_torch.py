@@ -218,24 +218,51 @@ class UnitableExtractor:
     {"structure"|"bbox"|"cell": (checkpoint_path, vocab_path)} — the
     upstream unitable release artifacts."""
 
-    def __init__(self, weights: Dict[str, Tuple[str, str]]):
+    def __init__(
+        self,
+        weights: Dict[str, Tuple[str, str]],
+        model_factory=None,
+        device: str = "cpu",
+    ):
         if not torch_unitable_available():
             raise ImportError(
                 "UnitableExtractor needs torch and tokenizers; the numpy "
                 "decode loop + HTML rebuild remain usable without them"
             )
         self.weights = weights
+        # the upstream unitable release artifacts are STATE DICTS, not
+        # pickled modules (reference unitable_model.py:49-63 builds the
+        # EncoderDecoder and load_state_dict()s into it) — a factory
+        # ``(task, vocab) -> nn.Module`` supplies that architecture here
+        # (ADVICE r5: torch.load of a state_dict has no .eval/.decode and
+        # crashed the real-model path on the documented artifacts)
+        self.model_factory = model_factory
+        self.device = device
 
     def _load(self, task: str):
-        key = f"unitable:{task}:{self.weights[task][0]}"
+        key = f"unitable:{task}:{self.weights[task][0]}:{self.device}"
         if key not in _MODELS:
             import torch  # noqa: F401
             from tokenizers import Tokenizer
 
             ckpt_path, vocab_path = self.weights[task]
             vocab = Tokenizer.from_file(vocab_path)
-            model = torch.load(ckpt_path, map_location="cpu")
+            loaded = torch.load(ckpt_path, map_location="cpu")
+            if isinstance(loaded, dict) and not hasattr(loaded, "eval"):
+                # state-dict artifact (the documented upstream format)
+                if self.model_factory is None:
+                    raise ValueError(
+                        f"{ckpt_path} is a state_dict; pass model_factory="
+                        "(task, vocab) -> nn.Module building the unitable "
+                        "EncoderDecoder architecture to load it into "
+                        "(mirror reference unitable_model.load_vocab_and_model)"
+                    )
+                model = self.model_factory(task, vocab)
+                model.load_state_dict(loaded)
+            else:
+                model = loaded
             model.eval()
+            model = model.to(self.device)
             _MODELS[key] = (model, vocab)
         return _MODELS[key]
 
@@ -244,10 +271,14 @@ class UnitableExtractor:
         import torch
 
         def step(context_np: np.ndarray) -> np.ndarray:
-            context = torch.from_numpy(context_np.astype("int32"))
+            # tensors follow the model's device (ADVICE r5: a cpu-built
+            # context fed to a cuda model crashes decode)
+            context = torch.from_numpy(context_np.astype("int32")).to(
+                self.device
+            )
             mask = torch.from_numpy(
                 subsequent_mask_np(context.shape[1])
-            )
+            ).to(self.device)
             with torch.no_grad():
                 logits = model.decode(
                     memory, context, tgt_mask=mask, tgt_padding_mask=None
