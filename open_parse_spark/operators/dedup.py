@@ -745,10 +745,14 @@ def duplicate_spans(
         F.col(id_col).alias("doc_id"),
         F.posexplode(word_ngrams_all(F.col(text_col), n)).alias("pos", "gram"),
     )
-    # two consumers (df aggregate + flag join) would each re-run the regex
-    # n-gram expansion — same trap ngram_jaccard_pairs documents; one
-    # materialization (bench: 22.9s -> ~7s at sf0.1)
-    grams = stage(grams, eager=False)
+    # the two consumers (df aggregate + flag join) re-run the explode above
+    # the ensure_parallelism exchange (shuffle files are reused, the
+    # projection is not).  r5 measured a localCheckpoint win here, but that
+    # was against a SINGLE-TASK expansion; with the parallel scan the
+    # recompute is cheaper than writing/reading the exploded relation
+    # (r6 A/B: 0.84 s recompute vs 1.15 s materialized at sf0.1/32c) —
+    # and at corpus scale re-scanning compressed columnar input beats
+    # round-tripping the ~5x-larger gram relation through local disk.
     dfreq = (
         grams.groupBy("gram")
         .agg(F.countDistinct("doc_id").alias("df"))

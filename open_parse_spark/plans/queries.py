@@ -1053,8 +1053,14 @@ GROUP BY 1
 
 
 def q_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # materialize=False: with the parallel gram expansion, recomputing the
+    # explode per consumer beats round-tripping the exploded relation
+    # through a local checkpoint (r6 A/B: 1.09 s vs 2.15 s at sf0.1/32c);
+    # the operator default stays True for callers whose upstream is an
+    # expensive non-scan pipeline
     return D.ngram_jaccard_pairs(
-        _tbl(spark, sf_dir, "documents"), n=3, num=1, den=2, max_df=50
+        _tbl(spark, sf_dir, "documents"), n=3, num=1, den=2, max_df=50,
+        materialize=False,
     )
 
 

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, functions as F
 
 
 def ensure_parallelism(
-    df: DataFrame, key_col: str | None = None, factor: int = 2
+    df: DataFrame, key_col: str | None = None, factor: int = 1
 ) -> DataFrame:
     """Repartition ``df`` to ``factor x defaultParallelism`` partitions when
     its physical plan yields fewer than ``defaultParallelism`` — otherwise
