@@ -65,8 +65,15 @@ def chunk_documents(
     # the word split + per-chunk slices + span-offset folds are the CPU
     # wall; a one-row-group scan serializes them on one task (r6 profile:
     # chunk_merge spent 2 s single-task tokenizing before its explicit
-    # repartition)
-    df = ensure_parallelism(df, id_col)
+    # repartition).  "Has at least one word" is filtered HERE as a cheap
+    # rlike (words() is regexp_extract_all('[A-Za-z0-9]+'), so
+    # rlike('[A-Za-z0-9]') == size(words(text)) > 0): the later size(n) > 0
+    # form was pushed below the exchange carrying the whole tokenization,
+    # re-serializing it onto the scan task (r6 plan finding, same as
+    # simhash).
+    df = ensure_parallelism(
+        df.where(F.col(text_col).rlike("[A-Za-z0-9]")), id_col
+    )
     sized = df.select(
         F.col(id_col).alias("doc_id"),
         words(F.col(text_col)).alias("ws"),
@@ -80,7 +87,7 @@ def chunk_documents(
         "ws",
         "seps",
         F.size("ws").alias("n"),
-    ).where(F.col("n") > 0).select(
+    ).select(
         "doc_id",
         "ws",
         "seps",

@@ -609,6 +609,17 @@ def cosine_neardup_pairs(
         .where(F.col("a.id") < F.col("b.id"))
         .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
         .distinct()
+        # the exact-cosine verification below is CPU-bound (interpreted HOF
+        # dot per candidate pair) while the candidate rows are a few bytes
+        # each — AQE coalesces the distinct's shuffle to ONE partition by
+        # bytes and serializes the scoring (r6 profile: 2 s single-task).
+        # Same CPU-vs-bytes trap chunk_merge documents; a user repartition
+        # is exempt from AQE coalescing.
+        .repartition(
+            embeddings.sparkSession.sparkContext.defaultParallelism,
+            "doc_a",
+            "doc_b",
+        )
     )
     scored = (
         cands.join(e.select(F.col("id").alias("doc_a"), F.col("v").alias("va")), "doc_a")
