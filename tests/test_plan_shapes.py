@@ -176,19 +176,25 @@ def test_pagerank_rank_pos_is_top_k_not_global_sort(spark):
     assert "TakeOrderedAndProject" in plan, plan
 
 
-def test_chunk_merge_single_explicit_exchange(spark):
+def test_chunk_merge_explicit_exchanges_only(spark):
     """merge_chunks_semantic's fold is Python-CPU-bound: its exchange must
     be the user-specified repartition (exempt from AQE byte-based
     coalescing, which serialized the fold to ~2 tasks after the r5 column
-    pruning shrank the shuffle) and the only hash exchange in the plan —
-    the groupBy must reuse that partitioning, not add a second shuffle."""
+    pruning shrank the shuffle), and the groupBy must reuse that
+    partitioning rather than add its own shuffle.  Since r6 an under-split
+    source additionally gets the scan-parallelizing doc_id repartition
+    BEFORE the tokenization (ensure_parallelism), so the plan may carry
+    one or two hash exchanges — every one of them must be an explicit
+    REPARTITION_BY_NUM on doc_id, never an implicit aggregate exchange."""
     from open_parse_spark.operators.chunking import merge_chunks_semantic
 
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     plan = _plan(merge_chunks_semantic(docs))
-    assert "REPARTITION_BY_NUM" in plan, plan
-    assert plan.count("Exchange hashpartitioning") == 1, plan
-    # and the pruned exchange carries no chunk_text / span offsets
+    n_hash = plan.count("Exchange hashpartitioning")
+    assert 1 <= n_hash <= 2, plan
+    assert plan.count("REPARTITION_BY_NUM") == n_hash, plan
+    # and the pruned fold exchange carries no chunk_text / span offsets
     for line in plan.splitlines():
         if "Exchange hashpartitioning" in line:
             assert "chunk_text" not in line and "span_start" not in line, line
+            assert "doc_id" in line, line
