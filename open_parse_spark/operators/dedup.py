@@ -214,6 +214,9 @@ def minhash_signatures(
         else doc_gram_hashes(df, text_col, id_col, n, hasher)
     )
 
+    # (r6 note: a vectorized-numpy Carter-Wegman variant of the md5 path
+    # was A/B'd and rejected — 0.42 s vs 0.52 s warm but 2.9 s vs 0.9 s on
+    # the first run, and the suite's run-once pattern pays first-run cost.)
     def _sig(j: int):
         return lambda g: _seeded_hash_long(j, g, hasher)
 
@@ -865,9 +868,11 @@ def bloom_decontaminate(
     """
     _validate_bloom_m(m)
 
+    # the benchmark side pays gram explode + per-gram md5 + two distincts;
+    # parallelize its scan too (r6 profile: 2 s single-task bench_bits job)
     bench_bits = (
         bloom_positions(
-            benchmark.select(
+            ensure_parallelism(benchmark, id_col).select(
                 F.explode(word_ngrams(F.col(text_col), n)).alias("gram")
             ).distinct(),
             m,
