@@ -292,7 +292,10 @@ def pq_topk_quantized(
     qrows = _quantized(queries, id_col, vec_col, scale).collect()
     if not qrows or not books:
         return _empty()
-    qids = [int(r["id"]) for r in qrows]
+    qids = [r["id"] for r in qrows]
+    id_type = queries.schema[id_col].dataType  # output dtype must match the
+    # id column exactly (a bare F.lit([0..9]) infers array<int> and came
+    # out int32 — caught by the hostile-corpus schema parity test)
     qmat = np.array([r["vq"] for r in qrows], dtype=np.int64)  # (nq, dim)
     # qtab[s]: (nq, n_codes_s) exact int64 query->centroid distances
     qtab: Dict[int, "object"] = {}
@@ -323,7 +326,9 @@ def pq_topk_quantized(
             F.posexplode(adists(F.col("vq"))).alias("qi", "adist"),
         )
         .select(
-            F.element_at(F.lit(qids), F.col("qi") + 1).alias("query_id"),
+            F.element_at(F.lit(qids), F.col("qi") + 1)
+            .cast(id_type)
+            .alias("query_id"),
             "neighbor_id",
             "adist",
         )
