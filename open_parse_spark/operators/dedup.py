@@ -869,10 +869,12 @@ def bloom_decontaminate(
     _validate_bloom_m(m)
 
     # the benchmark side pays gram explode + per-gram md5 + two distincts;
-    # parallelize its scan too (r6 profile: 2 s single-task bench_bits job)
+    # parallelize its scan too (r6 profile: 2 s single-task bench_bits job).
+    # Keyless (round-robin): the benchmark contract only requires text_col
+    # — it need not carry the id column.
     bench_bits = (
         bloom_positions(
-            ensure_parallelism(benchmark, id_col).select(
+            ensure_parallelism(benchmark.select(text_col)).select(
                 F.explode(word_ngrams(F.col(text_col), n)).alias("gram")
             ).distinct(),
             m,

@@ -285,10 +285,16 @@ def test_hybrid_ann_legs_recall_and_plan(spark):
             assert r["rrf_ppm"] == want, (leg, r)
         plan = fused._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan, leg
-        # bucket-pruned probes: candidates come from an equi-join on the
-        # index key, not a scan of every (query, doc) pair
-        key = {"lsh": "bucket", "ivf": "centroid_id", "pq": "code"}[leg]
-        assert key in plan, (leg, "no bucket-pruned probe join in plan")
+        # index-shaped scoring, not a pairwise scan: lsh/ivf candidates come
+        # from an equi-join on the index key; pq (since the r6 rewrite)
+        # fuses encode + ADC table lookup into one vectorized Arrow pass
+        # over a single corpus scan (codes never materialize as a column)
+        key = {
+            "lsh": "bucket",
+            "ivf": "centroid_id",
+            "pq": "ArrowEvalPython",
+        }[leg]
+        assert key in plan, (leg, "no index-shaped scoring in plan")
 
     import pytest
 
