@@ -202,7 +202,22 @@ def bm25_from_postings(
     scored = (
         tf.join(F.broadcast(qterms), "term")
         .join(doc_len, "doc_id")
-        .crossJoin(F.broadcast(stats.select(F.expr("total_words DIV n_docs").alias("avgdl"))))
+        # n_docs = 0 (empty corpus) must yield an empty result, not an ANSI
+        # DIVIDE_BY_ZERO: whether the bare DIV ever executed depended on
+        # AQE's empty-relation propagation winning the race to eliminate
+        # this branch (order-dependent flake caught by the empty-corpus
+        # sweep).  avgdl's value is irrelevant when there are no docs —
+        # every join input is empty — so any guard constant is safe.
+        .crossJoin(
+            F.broadcast(
+                stats.select(
+                    F.expr(
+                        "CASE WHEN n_docs > 0 THEN total_words DIV n_docs "
+                        "ELSE 0 END"
+                    ).alias("avgdl")
+                )
+            )
+        )
         .withColumn(
             "tfn_ppm",
             F.expr(
