@@ -375,6 +375,7 @@ def kmeans_centroids_quantized(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scale: int = QUANT_SCALE,
+    dim: int = None,
 ) -> DataFrame:
     """Fixed-point Lloyd: quantize once, then every iteration is integer
     sums + one declared rounding (floor(sum/count + 0.5)) — bit-identical on
@@ -394,7 +395,8 @@ def kmeans_centroids_quantized(
             F.col("vq").alias("cq"),
         )
     )
-    dim = _dim_of(embeddings, vec_col)
+    if dim is None:
+        dim = _dim_of(embeddings, vec_col)  # probe job; pass dim to skip
     if dim == 0:
         return init
     spark = embeddings.sparkSession
@@ -444,6 +446,7 @@ def ivf_topk_quantized(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scale: int = QUANT_SCALE,
+    dim: int = None,
 ) -> DataFrame:
     """IVF top-k over the fixed-point quantizer: identical plan shape to
     ``ivf_topk`` (broadcast centroids, bucket-pruned probes, one corpus
@@ -454,7 +457,7 @@ def ivf_topk_quantized(
     """
     centroids = kmeans_centroids_quantized(
         embeddings, k=n_centroids, iters=iters, id_col=id_col,
-        vec_col=vec_col, scale=scale,
+        vec_col=vec_col, scale=scale, dim=dim,
     )
     c = embeddings.select(
         F.col(id_col).alias("id"), quantize_vec(F.col(vec_col), scale).alias("vq")

@@ -249,7 +249,11 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``ivf_topk`` remains the scale-default API (exercised by ``ann_recall``
     and pytest); the two share every plan shape."""
     emb = _tbl(spark, sf_dir, "embeddings")
-    return S.ivf_topk_quantized(emb, emb.where(F.col("vec_id") < 10), k=5)
+    # dim from the parquet schema probe once here feeds both the Lloyd loop
+    # and the PQ path's convention (skips the per-call probe jobs)
+    return S.ivf_topk_quantized(
+        emb, emb.where(F.col("vec_id") < 10), k=5, dim=S._dim_of(emb, "embedding")
+    )
 
 
 def _ivf_lloyd_sql(prev: str, step: int) -> str:
