@@ -14,10 +14,24 @@ def _plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def _bench_transcripts() -> str:
+    # BENCH/bench_transcripts is gitignored bench-generated data; regenerate
+    # it (cached by bench.py's config stamp) so the suite is self-contained
+    # after a clean checkout.
+    import sys as _sys
+
+    repo = "/root/repo"
+    if repo not in _sys.path:
+        _sys.path.insert(0, repo)
+    import bench
+
+    return bench._ensure_bench_transcripts()
+
+
 def test_parse_is_zero_shuffle(spark):
     from open_parse_spark.spark.pipeline import parse_transcripts
 
-    t = spark.read.parquet("/root/repo/BENCH/bench_transcripts")
+    t = spark.read.parquet(_bench_transcripts())
     plan = _plan(parse_transcripts(t, repartition_for_skew=False))
     assert "Exchange" not in plan, plan
     assert "CartesianProduct" not in plan

@@ -38,7 +38,13 @@ def test_spark_submit_py_files_parse(tmp_path):
                 zf.write(full, os.path.relpath(full, REPO))
 
     # small deterministic input: one part file of the bench corpus
-    bench_dir = os.path.join(REPO, "BENCH", "bench_transcripts")
+    # (regenerated via bench.py's cached generator if the gitignored
+    # directory was cleaned)
+    if REPO not in sys.path:
+        sys.path.insert(0, REPO)
+    import bench
+
+    bench_dir = bench._ensure_bench_transcripts()
     part = sorted(
         f for f in os.listdir(bench_dir) if f.endswith(".parquet")
     )[0]
